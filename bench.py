@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark. Runs representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full materialization,
+no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+from welearn_datastack_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "latest_event",
+    "top2_event_types",
+    "group_counts",
+    "model_resolution",
+    "byte_budget_admission",
+    "cosine_topk",
+    "grouped_vector_search",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "exact_dup_flags",
+    "readability",
+    "quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    _load_groups()
+    spark = get_spark("welearn-bench")
+    # warm the JVM + parquet footers so per-query times measure the plan
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

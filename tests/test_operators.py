@@ -1,0 +1,120 @@
+"""Unit tests of operator modules on literal DataFrames — the
+port of the reference's seeded-row relational tests
+(tests/test_retrieve_data_from_database.py) and scalar-function tests
+(tests/test_scraping_utils.py, tests/test_computed_metadata.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from welearn_datastack_spark.functions import text as T
+from welearn_datastack_spark.functions.metadata import predict_duration, predict_readability
+from welearn_datastack_spark.operators.relational import get_or_create, overwrite_by_key
+from welearn_datastack_spark.operators.state_log import (
+    byte_budget_admission,
+    capped_buckets,
+    latest_state,
+)
+from welearn_datastack_spark.operators.topk import top_k_frequent
+
+
+def test_latest_state(spark):
+    log = spark.createDataFrame(
+        [
+            (1, 10, "url_retrieved", "2024-01-01"),
+            (1, 20, "document_scraped", "2024-01-02"),
+            (2, 5, "url_retrieved", "2024-01-01"),
+        ],
+        ["user_id", "event_id", "event_type", "ts"],
+    )
+    out = {r["user_id"]: r["event_type"] for r in latest_state(log).collect()}
+    assert out == {1: "document_scraped", 2: "url_retrieved"}
+
+
+def test_byte_budget_admission_cutoff(spark):
+    df = spark.createDataFrame([(i, 100) for i in range(10)], ["id", "sz"])
+    kept = byte_budget_admission(df, "sz", budget=350, order_by=[F.asc("id")]).collect()
+    assert [r["id"] for r in kept] == [0, 1, 2]  # 3*100 <= 350 < 4*100
+
+
+def test_capped_buckets_drops_overflow(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    out = capped_buckets(df, order_by=[F.asc("id")], threshold=10, max_buckets=3)
+    rows = out.collect()
+    assert len(rows) == 30  # 70 rows silently dropped, like batch_generator.py:55-62
+    assert {r["bucket"] for r in rows} == {0, 1, 2}
+
+
+def test_top_k_frequent_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "b"), (1, "c")], ["g", "v"]
+    )
+    rows = top_k_frequent(df, "g", "v", k=2).orderBy("rnk").collect()
+    # a and b tie at 2; tiebreak value-asc → a then b
+    assert [(r["v"], r["cnt"], r["rnk"]) for r in rows] == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_get_or_create_idempotent(spark):
+    dim = spark.createDataFrame([("alpha", "id-a")], ["keyword", "id"])
+    incoming = spark.createDataFrame([("alpha",), ("beta",), ("beta",)], ["keyword"])
+    merged = get_or_create(dim, incoming, key="keyword")
+    rows = {r["keyword"]: r["id"] for r in merged.collect()}
+    assert rows["alpha"] == "id-a"  # existing id preserved
+    assert len(rows) == 2
+    # idempotent: merging again changes nothing
+    again = get_or_create(merged, incoming, key="keyword")
+    assert sorted(r["keyword"] for r in again.collect()) == ["alpha", "beta"]
+
+
+def test_overwrite_by_key(spark):
+    existing = spark.createDataFrame([(1, "old"), (2, "keep")], ["k", "v"])
+    incoming = spark.createDataFrame([(1, "new")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in overwrite_by_key(existing, incoming, "k").collect()}
+    assert out == {1: "new", 2: "keep"}
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("  a   b\tc\n",)], ["s"]
+    ).select(
+        T.remove_extra_whitespace(F.col("s")).alias("ws"),
+        T.remove_html_tags(F.lit("<p>hi</p> there")).alias("tags"),
+        T.clean_doi(F.lit("https://doi.org/10.1/x")).alias("doi"),
+        T.strip_hal_versioning(F.lit("https://hal.science/hal-01v2")).alias("hal"),
+        T.dehyphenate(F.lit("hyphen-\nated")).alias("dehyph"),
+        T.lexicon_count(F.lit("one two three!")).alias("lex"),
+        T.sentence_count(F.lit("First one. Second two three! tail")).alias("sent"),
+        T.sentence_count(F.lit("no enders at all")).alias("sent_floor"),
+    )
+    r = df.collect()[0]
+    assert r["ws"] == "a b c"
+    assert r["tags"] == "hi there"
+    assert r["doi"] == "10.1/x"
+    assert r["hal"] == "https://hal.science/hal-01"
+    assert r["dehyph"] == "hyphenated"
+    assert r["lex"] == 3
+    assert r["sent"] == 2
+    assert r["sent_floor"] == 1
+
+
+def test_inverted_abstract_reconstruction(spark):
+    # OpenAlex inverted abstract: {word: [positions]} → original text
+    df = spark.createDataFrame(
+        [Row(m={"world": [1], "hello": [0], "again": [2, 3]})]
+    ).select(T.inverted_abstract_to_text(F.col("m")).alias("txt"))
+    assert df.collect()[0]["txt"] == "hello world again again"
+
+
+def test_readability_and_duration_are_strings(spark):
+    df = spark.createDataFrame(
+        [("Simple words here. More words now.", "en"), ("texto", "zh")], ["text", "lang"]
+    ).select(
+        predict_readability(F.col("text"), F.col("lang")).alias("r"),
+        predict_duration(F.col("text"), F.col("lang")).alias("d"),
+    )
+    rows = df.collect()
+    assert isinstance(rows[0]["r"], str) and isinstance(rows[0]["d"], str)
+    assert 0.0 <= float(rows[0]["r"]) <= 100.0
+    assert rows[1]["r"] is None  # unsupported language → NULL (ref behavior)
+    assert rows[1]["d"] == "0"  # 1 word / default 184 wpm * 60 → int() == 0

@@ -1,0 +1,197 @@
+"""Deduplication operators for a training-data pipeline — exact,
+n-gram Jaccard, MinHash+LSH banding, SimHash, embedding near-dup.
+
+None of these exist in the reference (its dedup is a URL unique
+constraint, nodes_helpers/collect.py:24–30); they are the
+LLM-data-pipeline extensions the engine needs at 100 TB. Design notes:
+
+- Everything is expressed as shuffle-on-key DataFrame algebra with an
+  ANSI-SQL twin — no Python in the hot path, no driver-side loops.
+- Hashes are md5-derived (first 15 hex chars → int63) so Spark and
+  any SQL oracle compute bit-identical values; at production scale
+  you'd swap in xxhash64 (builtin, faster) without changing shape.
+- MinHash/LSH: candidate generation joins on (band, band_key) —
+  cardinality is bucket-local, never |D|². At 100 TB, band keys are
+  uniformly distributed by construction, so the shuffle is balanced;
+  skewed mega-buckets (boilerplate shingles) are handled by AQE skew
+  splitting or a band-key salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hexint(c: Column) -> Column:
+    """First 15 hex chars of md5 → int63 — the cross-engine stable
+    hash used throughout the dedup family."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dup_flags(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-hash group: every row keeps its id and
+    an ``is_dup`` flag (true for all but the min-id row of each hash
+    group). Output (id_col, is_dup)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy(h)
+    return docs.select(
+        F.col(id_col), (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup")
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+    Documents with fewer than n words produce no shingles.
+
+    The input is repartitioned first: a small parquet file arrives as
+    ONE scan partition, which would serialize the regex/shingle/hash
+    map work onto a single core — the cheap up-front shuffle buys full
+    parallelism for the expensive part. (At 100 TB the scan already
+    has thousands of partitions and Spark's repartition is a no-op
+    cost-wise relative to the map work.)"""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # materialize the token array as a projected column BEFORE the
+    # shingle lambda: referencing the regexp expression directly inside
+    # element_at would inline (and re-evaluate) the regex once per
+    # element_at call — O(words·n) regex runs per row instead of 1
+    tokenized = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+    return (
+        tokenized.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str, threshold: float, round_digits: int = 6
+) -> DataFrame:
+    """All document pairs sharing ≥1 shingle, with Jaccard similarity
+    ≥ threshold. Output (a_id, b_id, jaccard), a_id < b_id.
+
+    The shingle equi-join is the scalable shape: pairs are generated
+    per shingle bucket (shuffle on shingle), never by cross product.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.select(F.col(id_col).alias("a_id"), "shingle")
+    b = shingles.select(F.col(id_col).alias("b_id"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("sz").alias("sa")), on="a_id")
+        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("sz").alias("sb")), on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), round_digits
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """MinHash signature rows (id_col, seed, mh): per seed, the min
+    over shingles of hexint(md5(seed ':' shingle)). Map-side partial
+    min before the shuffle → the shuffle carries |D|·n_hashes rows,
+    not |shingles|·n_hashes."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    h = hexint(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+    return (
+        shingles.select(F.col(id_col), F.col("shingle"), seeds)
+        .withColumn("mh", h)
+        .drop("shingle")
+        .groupBy(id_col, "seed")
+        .agg(F.min("mh").alias("mh"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int) -> DataFrame:
+    """Group signature rows into bands; band key = md5 of the
+    seed-ordered minhash values in the band. Output
+    (id_col, band, band_key)."""
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    ordered_mh = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"].cast("string")
+    )
+    return banded.groupBy(id_col, "band").agg(F.md5(F.concat_ws("-", ordered_mh)).alias("band_key"))
+
+
+def lsh_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs sharing any band key. Output
+    (a_id, b_id), a_id < b_id.
+
+    Not a self-join: a self-join would recompute the whole
+    shingle→minhash→band pipeline once per branch. Instead, group the
+    bucket members into a sorted array and emit the bucket-local pair
+    combinations with array algebra — one pass over the pipeline, and
+    the combinatorial work stays proportional to bucket sizes (which
+    LSH keeps small by construction)."""
+    members = (
+        band_keys.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ms) - 2),"
+                " i -> transform(sequence(i + 1, size(ms) - 1),"
+                " j -> struct(ms[i] AS a_id, ms[j] AS b_id))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.a_id", "p.b_id").dropDuplicates(["a_id", "b_id"])
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over distinct word tokens: bit j of the
+    output is the sign of sum over tokens of ±1 according to bit j of
+    the token hash. Output (id_col, simhash bigint).
+
+    Two aggregations, both keyed on the document id — shuffles carry
+    (doc, bit) partial sums, so width is |D|·bits regardless of text
+    size."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0))
+            ).alias("tok"),
+        )
+        .withColumn("th", hexint(F.col("tok")))
+    )
+    per_bit = (
+        toks.select(F.col(id_col), "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"))
+        .withColumn(
+            "sign",
+            F.when(F.expr("(shiftright(th, j) & 1) = 1"), 1).otherwise(-1),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.sum("sign").alias("s"))
+    )
+    bitval = F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return per_bit.select(F.col(id_col), bitval.alias("bv")).groupBy(id_col).agg(
+        F.sum("bv").cast("long").alias("simhash")
+    )

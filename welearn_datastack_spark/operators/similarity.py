@@ -1,0 +1,149 @@
+"""Vector similarity operators over `array<float>` embedding columns.
+
+The reference stores slice embeddings as raw float32 bytes and serves
+cosine search from Qdrant (modules/qdrant_handler.py:114–138; vectors
+are L2-normalized at embed time, embedding_model_helpers.py:58–64; the
+load-test workload is top-100 search and grouped-by-document search,
+locustfiles/locustfile.py:58–97). Here the same semantics are pure
+DataFrame algebra:
+
+- brute-force cosine top-k: broadcast the (small) query set against
+  the corpus — a map-side nested loop with **zero shuffle on the
+  corpus side**; the only shuffle is the final per-query top-k window
+  over |Q|·k candidate rows. This is the correctness baseline and is
+  exactly how you'd seed an IVF index build at 100 TB.
+- LSH-bucketed variant (random-hyperplane signs): corpus and queries
+  hash to sign-bucket keys; candidates are generated per bucket →
+  the cross product shrinks from |Q|·|C| to the bucket-local products.
+  At scale, bucket on the first B bits and shuffle both sides by
+  bucket — a co-partitioned equi-join instead of a broadcast loop.
+
+All arithmetic is JVM-side (zip_with/aggregate higher-order
+functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .topk import top_k_by
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two float arrays (cast to
+    double per element so precision matches an ANSI-SQL oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _d(x) * _d(y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: _d(x) * _d(x)), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """All (query, corpus) cosine scores; queries broadcast. Returns
+    (q_id, c_id, cosine) with cosine rounded for cross-engine
+    determinism."""
+    q = queries.select(F.col(q_id), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(c_id), F.col(vec_col).alias("__cv"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            q_id,
+            c_id,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits).alias("cosine"),
+        )
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus rows per query by cosine (ties broken by c_id) —
+    the Qdrant `search(limit=k)` shape."""
+    pairs = cosine_pairs(queries, corpus, q_id=q_id, c_id=c_id, vec_col=vec_col)
+    return top_k_by(pairs, [q_id], [F.desc("cosine"), F.asc(c_id)], k=k)
+
+
+def grouped_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    group_col: str,
+    k_groups: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Grouped search: best hit per (query, group), then top
+    ``k_groups`` groups per query — the Qdrant grouped-search shape
+    (group_by document_id, group_size 1; locustfile.py:82–87)."""
+    pairs = cosine_pairs(
+        queries, corpus.select(F.col(c_id), group_col, "embedding"), q_id=q_id, c_id=c_id, vec_col=vec_col
+    )
+    grp = corpus.select(F.col(c_id), F.col(group_col))
+    with_grp = pairs.join(F.broadcast(grp), on=c_id)
+    best_per_group = top_k_by(
+        with_grp, [q_id, group_col], [F.desc("cosine"), F.asc(c_id)], k=1, rank_col="__r1"
+    ).drop("__r1")
+    return top_k_by(best_per_group, [q_id], [F.desc("cosine"), F.asc(group_col)], k=k_groups)
+
+
+def signed_projection_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_bits: int, dims: int, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH bucket key per vector (sign of dot with
+    ``n_bits`` deterministic pseudo-random hyperplanes). The planes are
+    derived from md5 so the same buckets are computable in ANSI SQL.
+
+    Scale path: join corpus and queries on ``bucket`` instead of a
+    broadcast cross product — both sides shuffle once on a uniform
+    key, bucket-local brute force follows.
+    """
+    # deterministic hyperplane component h(bit, dim) ∈ {-1, +1}
+    bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    vec = F.col(vec_col)
+
+    def plane_sign(bit: Column) -> Column:
+        # component j of plane `bit`: ±1 from md5(seed:bit:j) parity
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda j: F.when(
+                F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), bit, j)), 1, 15), 16, 10)
+                .cast("long")
+                % 2
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    key = F.array_join(F.transform(bits, plane_sign), "")
+    return df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))

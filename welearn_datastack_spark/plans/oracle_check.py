@@ -1,0 +1,93 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a QuerySpec's Spark builder and its DuckDB oracle over the same
+parquet tables and compares row count, column names, and
+order-insensitive values. Used by tests/ and tools/check_oracle.py so
+mismatches are caught before the driver's CORRECTNESS run.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from ..sources.tables import TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v: Any) -> Any:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, (int,)):
+        return int(v)
+    try:  # numpy scalars
+        import numpy as np
+
+        if isinstance(v, np.floating):
+            return repr(float(v))
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.bool_):
+            return bool(v)
+        if isinstance(v, np.ndarray):
+            return tuple(_canon_cell(x) for x in v)
+    except ImportError:
+        pass
+    return v
+
+
+def canonicalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    rows.sort(key=lambda r: tuple(str(x) for x in r))
+    return cols, rows
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    issues: list[str] = []
+    s_cols, s_rows = canonicalize(spark_pdf)
+    o_cols, o_rows = canonicalize(oracle_pdf)
+    if s_cols != o_cols:
+        issues.append(f"columns differ: spark={s_cols} oracle={o_cols}")
+        return issues
+    if len(s_rows) != len(o_rows):
+        issues.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
+    for i, (sr, orr) in enumerate(zip(s_rows, o_rows)):
+        if sr != orr:
+            issues.append(f"first differing row #{i}: spark={sr} oracle={orr}")
+            break
+    return issues
+
+
+def check_query(spark, spec, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None) -> list[str]:
+    own = con is None
+    if own:
+        con = duckdb_conn(sf_dir)
+    try:
+        spark_pdf = spec.build(spark, sf_dir).toPandas()
+        if spec.oracle is None:
+            return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+        oracle_pdf = con.execute(spec.oracle).fetchdf()
+        return compare_frames(spark_pdf, oracle_pdf)
+    finally:
+        if own:
+            con.close()

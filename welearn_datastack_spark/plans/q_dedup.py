@@ -1,0 +1,142 @@
+"""Dedup query group — exact, n-gram Jaccard, MinHash+LSH, SimHash
+over the ``documents`` table (LLM-data-pipeline operators; see
+operators/dedup.py for the scale design notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dup_flags,
+    jaccard_pairs,
+    lsh_band_keys,
+    lsh_candidates,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# DuckDB twin of operators/dedup.py:hexint — md5 first 15 hex chars → int63
+_HEXINT = (
+    "list_reduce([strpos('0123456789abcdef', c) - 1"
+    " for c in regexp_extract_all(substr(md5({x}), 1, 15), '.')],"
+    " (a, b) -> a * 16 + b)"
+)
+
+# DuckDB twin of operators/dedup.py:word_shingles (trigrams, distinct).
+# Trigrams, not bigrams: with a small vocabulary, bigram buckets collide
+# so hard that pair generation degenerates toward |D|² — the shingle
+# width is the selectivity knob that keeps the equi-join bucket-local.
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+)
+"""
+
+
+@register(
+    "exact_dup_flags",
+    """
+    SELECT doc_id,
+           doc_id != MIN(doc_id) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ) AS is_dup
+    FROM documents
+    """,
+    doc="Dedup: exact content-hash duplicate flags (hash-groupBy; "
+    "min-id row is canonical)",
+)
+def exact_dup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_flags(docs, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _SHINGLES_CTE
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT c.a_id, c.b_id,
+             ROUND(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
+    ) WHERE jaccard >= 0.15
+    """,
+    doc="Dedup: word-trigram Jaccard near-dup pairs ≥ 0.15 (pairs "
+    "generated per shingle bucket — equi-join, never cross product)",
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, "doc_id", threshold=0.15)
+
+
+@register(
+    "minhash_lsh_candidates",
+    _SHINGLES_CTE
+    + f"""
+    , hashes AS (
+      SELECT doc_id, seed,
+             {_HEXINT.format(x="CAST(seed AS VARCHAR) || ':' || shingle")} AS h
+      FROM sh, unnest(generate_series(0, 7)) AS s(seed)
+    ), sigs AS (
+      SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="Dedup: MinHash (8 perms) + LSH banding (4 bands × 2 rows) "
+    "candidate pairs — shingle→minhash→band→bucket-join",
+)
+def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
+    bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+    return lsh_candidates(bands, "doc_id")
+
+
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, {_HEXINT.format(x="tok")} AS h FROM toks
+    ), per_bit AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, unnest(generate_series(0, 15)) AS b(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+    doc="Dedup: 16-bit SimHash fingerprint per document (sign-sum over "
+    "token-hash bits)",
+)
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)

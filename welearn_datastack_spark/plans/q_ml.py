@@ -1,0 +1,181 @@
+"""ML / vector query group — the classifier column logic (SURVEY.md
+§2.9 M3) and the similarity-search operators over the ``embeddings``
+table (64-dim float vectors).
+
+The model forward passes themselves (M1/M2) are pandas-UDF stages in
+functions/udfs.py with deterministic stub models for tests; everything
+downstream of the proba vector is pure column logic and is
+oracle-checked here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, cosine_pairs, grouped_topk
+from ..sources.tables import load_table
+from .registry import register
+
+# Shared DuckDB CTE: cosine between query set (vec_id < 10) and corpus
+# (vec_id >= 10), computed element-wise in double like the Spark side.
+_COSINE_CTE = """
+WITH qe AS (
+  SELECT vec_id AS q_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id < 10
+), ce AS (
+  SELECT vec_id AS c_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id >= 10
+), norms AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))  AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id
+), pairs AS (
+  SELECT qe.q_id, ce.c_id,
+         ROUND(SUM(CAST(qe.v AS DOUBLE) * CAST(ce.v AS DOUBLE))
+               / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM qe JOIN ce ON qe.i = ce.i
+  JOIN norms nq ON nq.vec_id = qe.q_id
+  JOIN norms nc ON nc.vec_id = ce.c_id
+  GROUP BY qe.q_id, ce.c_id, nq.nrm, nc.nrm
+)
+"""
+
+
+def _split(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), "embedding", "label"
+    )
+    return queries, corpus
+
+
+@register(
+    "classify_argmax",
+    """
+    SELECT vec_id,
+           CAST(list_indexof(embedding, list_max(embedding)) AS BIGINT) AS best_idx,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS best_score,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) > 0.15 AS accepted,
+           CASE WHEN label % 3 = 0 THEN label
+                WHEN ROUND(CAST(list_max(embedding) AS DOUBLE), 6) > 0.15
+                  THEN CAST(list_indexof(embedding, list_max(embedding)) AS INT)
+           END AS final_label,
+           CASE WHEN label % 3 = 0 THEN NULL ELSE 'clf-v1' END AS n_classifier_id
+    FROM embeddings
+    """,
+    doc="M3: n-classify column logic — argmax over the proba vector, "
+    "0.15 acceptance threshold, forced-label override with "
+    "n_classifier_id nulled when forced (ref sdgs_classifiers.py:48-122, "
+    "quirk at :81,:121)",
+)
+def classify_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    best = F.array_max("embedding")
+    idx = F.array_position(F.col("embedding"), best)
+    score = F.round(best.cast("double"), 6)
+    accepted = score > 0.15
+    forced = F.col("label") % 3 == 0
+    return emb.select(
+        "vec_id",
+        idx.alias("best_idx"),
+        score.alias("best_score"),
+        accepted.alias("accepted"),
+        F.when(forced, F.col("label"))
+        .when(accepted, idx.cast("int"))
+        .alias("final_label"),
+        F.when(forced, F.lit(None).cast("string")).otherwise(F.lit("clf-v1")).alias(
+            "n_classifier_id"
+        ),
+    )
+
+
+@register(
+    "cosine_topk",
+    _COSINE_CTE
+    + """
+    SELECT q_id, c_id, cosine, rnk FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, c_id ASC) AS INT) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 5
+    """,
+    doc="Similarity search: brute-force cosine top-5 per query vector "
+    "(Qdrant search shape, locustfile.py:62); broadcast nested-loop + "
+    "per-query top-k window",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _split(spark, sf_dir)
+    return brute_force_topk(queries, corpus.select("c_id", "embedding"), k=5).select(
+        "q_id", "c_id", "cosine", "rnk"
+    )
+
+
+@register(
+    "grouped_vector_search",
+    _COSINE_CTE
+    + """
+    , lbl AS (SELECT vec_id AS c_id, label FROM embeddings WHERE vec_id >= 10),
+    best AS (
+      SELECT q_id, label, cosine, c_id FROM (
+        SELECT p.q_id, l.label, p.cosine, p.c_id,
+               row_number() OVER (PARTITION BY p.q_id, l.label
+                                  ORDER BY p.cosine DESC, p.c_id ASC) AS r1
+        FROM pairs p JOIN lbl l ON l.c_id = p.c_id
+      ) WHERE r1 = 1
+    )
+    SELECT q_id, label, cosine, c_id, rnk FROM (
+      SELECT q_id, label, cosine, c_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, label ASC) AS INT) AS rnk
+      FROM best
+    ) WHERE rnk <= 3
+    """,
+    doc="Grouped vector search: best hit per (query, group), top-3 groups "
+    "per query (Qdrant grouped search, locustfile.py:82-87)",
+)
+def grouped_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, corpus = _split(spark, sf_dir)
+    return grouped_topk(queries, corpus, group_col="label", k_groups=3).select(
+        "q_id", "label", "cosine", "c_id", "rnk"
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    ae AS (
+      SELECT vec_id AS a_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM sub
+    ), be AS (
+      SELECT vec_id AS b_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM sub
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS v FROM sub) GROUP BY vec_id
+    )
+    SELECT a_id, b_id, cosine FROM (
+      SELECT ae.a_id, be.b_id,
+             ROUND(SUM(CAST(ae.v AS DOUBLE) * CAST(be.v AS DOUBLE))
+                   / (na.nrm * nb.nrm), 6) AS cosine
+      FROM ae JOIN be ON ae.i = be.i AND ae.a_id < be.b_id
+      JOIN norms na ON na.vec_id = ae.a_id
+      JOIN norms nb ON nb.vec_id = be.b_id
+      GROUP BY ae.a_id, be.b_id, na.nrm, nb.nrm
+    ) WHERE cosine >= 0.35
+    """,
+    doc="Dedup: embedding-cosine near-duplicate pairs above threshold "
+    "(LLM-pipeline near-dup; brute-force baseline, LSH-bucketed scale "
+    "path in operators/similarity.py)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    b = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    pairs = cosine_pairs(a, b)
+    return (
+        pairs.filter((F.col("q_id") < F.col("c_id")) & (F.col("cosine") >= 0.35))
+        .select(F.col("q_id").alias("a_id"), F.col("c_id").alias("b_id"), "cosine")
+    )

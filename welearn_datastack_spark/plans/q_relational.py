@@ -1,0 +1,343 @@
+"""Relational query group — joins, aggregations, set ops (SURVEY.md
+§2.3/§2.4/§2.7) over the TPC-H-ish tables, plus TPC-H-style headline
+queries that exercise scan+join+agg at scale (these three are the
+bench.py workhorses).
+
+Scale notes baked into each builder:
+- dimension tables (region/nation/customer at these SFs; corpus/model
+  dims in the real pipeline) are broadcast — the fact side never
+  shuffles for the join;
+- aggregates over doubles are rounded identically on both sides so
+  partial-agg order can't flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import anti_join, get_or_create, semi_join
+from ..operators.topk import top_k_frequent
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "model_resolution",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate, n_name, r_name FROM (
+      SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, n.n_name, r.r_name,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    ) WHERE rn = 1
+    """,
+    doc="J5/W1: per-key current-model resolution — 3-way join + recency window "
+    "(ref retrieve_data_from_database.py:330-358)",
+)
+def model_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .join(region, region.r_regionkey == nation.n_regionkey)
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "n_name", "r_name")
+    )
+
+
+@register(
+    "semi_join_recent_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    """,
+    doc="J6: left-semi join (ref retrieve_data_from_database.py:386-403)",
+)
+def semi_join_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(cust, recent, on="c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_stale_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    """,
+    doc="J7/J11: left-anti join / NOT EXISTS (ref document_classifier.py:157-159, "
+    "BackFiller SQL)",
+)
+def anti_join_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(cust, recent, on="c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "keyword_get_or_create",
+    """
+    WITH dim AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '\\w+')) AS keyword
+      FROM documents WHERE lang = 'en'
+    ), incoming AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '\\w+')) AS keyword
+      FROM documents WHERE lang = 'fr'
+    )
+    SELECT keyword, md5(keyword) AS id
+    FROM (SELECT keyword FROM incoming EXCEPT SELECT keyword FROM dim)
+    """,
+    doc="J8: keyword get-or-create — new keys only, deterministic ids "
+    "(ref keywords_extractor.py:91-101)",
+)
+def keyword_get_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = lambda lang: (
+        docs.filter(F.col("lang") == lang)
+        .select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)).alias("keyword"))
+        .dropDuplicates(["keyword"])
+    )
+    dim = toks("en").withColumn("id", F.md5("keyword"))
+    merged = get_or_create(dim, toks("fr"), key="keyword", id_col="id")
+    # report only the created rows (merged minus pre-existing dim keys)
+    return anti_join(merged, dim.select("keyword"), on="keyword").select("keyword", "id")
+
+
+@register(
+    "except_churned_signups",
+    """
+    SELECT user_id FROM events
+    WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'signup' AND ts >= TIMESTAMP '2024-01-03'
+    """,
+    doc="T1: EXCEPT set difference (ref BackFiller update_doi_from_details.sql)",
+)
+def except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-03").cast("timestamp")
+    early = ev.filter((F.col("event_type") == "signup") & (F.col("ts") < cut)).select("user_id")
+    late = ev.filter((F.col("event_type") == "signup") & (F.col("ts") >= cut)).select("user_id")
+    return early.distinct().exceptAll(late.distinct())
+
+
+@register(
+    "union_tagged_states",
+    """
+    SELECT event_id, 'error' AS tag FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, 'big_purchase' AS tag FROM events
+    WHERE event_type = 'purchase' AND value > 150
+    """,
+    doc="T2: UNION ALL of tagged state rows (ref update_doi_from_details.sql)",
+)
+def union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select("event_id", F.lit("error").alias("tag"))
+    big = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150)).select(
+        "event_id", F.lit("big_purchase").alias("tag")
+    )
+    return errs.unionByName(big)
+
+
+@register(
+    "group_counts",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="A4/A6: count / countDistinct / sum / avg per group "
+    "(ref batch_generator.py:80-101, document_classifier.py:64-72)",
+)
+def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "any_true_per_user",
+    """
+    SELECT user_id,
+           bool_or(event_type = 'purchase' AND value > 190) AS has_big_purchase
+    FROM events GROUP BY user_id
+    """,
+    doc="A7: any-over-group / bool_or (ref sdgs_classifiers.py:16-28 "
+    "bi_classify 'any slice is SDG')",
+)
+def any_true_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bool_or((F.col("event_type") == "purchase") & (F.col("value") > 190)).alias(
+            "has_big_purchase"
+        )
+    )
+
+
+@register(
+    "top2_event_types",
+    """
+    SELECT user_id, event_type, cnt, rnk FROM (
+      SELECT user_id, event_type, cnt,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, event_type ASC) AS INT) AS rnk
+      FROM (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id, event_type)
+    ) WHERE rnk <= 2
+    """,
+    doc="A2/W4: top-2 most frequent value per group with deterministic "
+    "tiebreak (ref qdrant_syncronizer.py:164-171 Counter.most_common(2))",
+)
+def top2_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return top_k_frequent(ev, "user_id", "event_type", k=2, count_col="cnt", rank_col="rnk")
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Headline scan+agg (TPC-H Q1 shape): full-table scan, map-side "
+    "partial aggregation, 4-group output",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+      SELECT l.l_orderkey AS o_orderkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ) ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    doc="Headline join+agg+topN (TPC-H Q3 shape): selective dimension "
+    "filter broadcast into the fact join, ordered limit",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"), F.col("o_orderdate"), F.col("o_orderpriority")
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT r.r_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Headline multi-join rollup (TPC-H Q5 shape): fact ⋈ broadcast "
+    "dims chain, single-key rollup",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
+        .join(nation, nation.n_nationkey == F.col("c_nationkey"))
+        .join(region, region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )

@@ -1,0 +1,323 @@
+"""Text / metadata query group — the scalar-function surface
+(SURVEY.md §2.8 F1–F21, §2.2 P10/P11) plus the training-data-pipeline
+text-analysis operators (language-ID heuristic, quality scoring, token
+counting, document fingerprinting) over the ``documents`` table.
+
+Everything here is pure Catalyst column logic (whole-stage codegen,
+zero Python) — the pandas-UDF variants of the non-expressible pieces
+(Pyphen syllables, lingua lang-id, NFC) live in functions/udfs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.metadata import predict_duration, predict_readability
+from ..functions.text import (
+    lexicon_count,
+    normalize_for_fingerprint,
+    remove_extra_whitespace,
+    sentence_count,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# language-ID marker tokens (n-gram-heuristic langid; deliberately
+# disjoint across languages so argmax+tiebreak is deterministic)
+LANGID_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "to"],
+    "fr": ["le", "les", "et", "une", "dans"],
+    "es": ["el", "y", "que", "los", "para"],
+    "de": ["der", "und", "das", "ein", "nicht"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
+
+
+@register(
+    "text_normalize",
+    """
+    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_norm
+    FROM documents
+    """,
+    doc="F1/F3: whitespace collapse + trim (ref scraping_utils.py:26-37)",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", remove_extra_whitespace(F.col("text")).alias("text_norm"))
+
+
+@register(
+    "lexicon_metrics",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\w+')) AS INT) AS n_words,
+           CAST(greatest(1, len(regexp_extract_all(text, '[^.!?]+[.!?]'))) AS INT) AS n_sentences,
+           len(regexp_extract_all(text, '\\w+'))
+             / greatest(1, len(regexp_extract_all(text, '[^.!?]+[.!?]'))) AS avg_sentence_len
+    FROM documents
+    """,
+    doc="F9/F10/F11: lexicon count, sentence count (floor 1), avg sentence "
+    "length (ref computed_metadata.py:68-112)",
+)
+def lexicon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = lexicon_count(F.col("text"))
+    sents = sentence_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        (words.cast("double") / sents.cast("double")).alias("avg_sentence_len"),
+    )
+
+
+# DuckDB twin of functions/metadata.py:predict_readability — vowel-group
+# syllables, round-half-away, clamp [0,100], 2-dp decimal string.
+_READABILITY_ORACLE = """
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\\w+')) AS DOUBLE) AS words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[^.!?]+[.!?]'))) AS DOUBLE) AS sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS sylls
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE lang WHEN 'en' THEN 206.835 WHEN 'fr' THEN 207.0 WHEN 'es' THEN 206.84
+                   WHEN 'de' THEN 180.0 WHEN 'it' THEN 217.0 WHEN 'nl' THEN 206.84 END
+         - CASE lang WHEN 'en' THEN 1.015 WHEN 'fr' THEN 1.015 WHEN 'es' THEN 1.02
+                     WHEN 'de' THEN 1.0 WHEN 'it' THEN 1.3 WHEN 'nl' THEN 0.93 END
+           * (words / sents)
+         - CASE lang WHEN 'en' THEN 84.6 WHEN 'fr' THEN 73.6 WHEN 'es' THEN 60.0
+                     WHEN 'de' THEN 58.5 WHEN 'it' THEN 60.0 WHEN 'nl' THEN 77.0 END
+           * (sylls / greatest(words, 1.0)) AS score
+  FROM m
+)
+SELECT doc_id,
+       CASE WHEN score IS NULL THEN NULL
+            ELSE CAST(CAST(least(greatest(
+                   floor(score * 100 + CASE WHEN score < 0 THEN -0.5 ELSE 0.5 END) / 100,
+                   0.0), 100.0) AS DECIMAL(6,2)) AS VARCHAR)
+       END AS readability
+FROM s
+"""
+
+
+@register(
+    "readability",
+    _READABILITY_ORACLE,
+    doc="F13: per-language Flesch readability, round-half-away, clamped, "
+    "AS STRING; NULL for unsupported langs (ref computed_metadata.py:156-180)",
+)
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # regex-heavy per-row work; small single-file scans arrive as one
+    # partition — spread across cores first (see operators/dedup.py note)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.select("doc_id", predict_readability(F.col("text"), F.col("lang")).alias("readability"))
+
+
+@register(
+    "reading_duration",
+    """
+    SELECT doc_id,
+           CAST(CAST(trunc(
+             len(regexp_extract_all(text, '\\w+'))
+             / CAST(CASE lang WHEN 'en' THEN 228 WHEN 'fr' THEN 195 WHEN 'es' THEN 218
+                              WHEN 'de' THEN 179 WHEN 'it' THEN 188 WHEN 'nl' THEN 202
+                              ELSE 184 END AS DOUBLE) * 60
+           ) AS INT) AS VARCHAR) AS duration
+    FROM documents
+    """,
+    doc="F14: reading duration seconds = int(words/speed*60), default "
+    "speed 184, AS STRING (ref computed_metadata.py:183-198)",
+)
+def reading_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", predict_duration(F.col("text"), F.col("lang")).alias("duration"))
+
+
+@register(
+    "json_field_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    """,
+    doc="F5-adjacent: JSON field access over a string column "
+    "(ref details->>'doi' in update_doi_from_details.sql)",
+)
+def json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val"))
+
+
+@register(
+    "url_status_classify",
+    """
+    SELECT event_id, code,
+           CASE WHEN code BETWEEN 200 AND 299 THEN 'VALID'
+                WHEN code BETWEEN 300 AND 399 THEN 'TO_UPDATE'
+                WHEN code BETWEEN 400 AND 499 THEN 'TO_DELETE'
+                ELSE 'UNKNOWN' END AS url_status
+    FROM (SELECT event_id,
+                 200 + (CAST(json_extract_string(props, '$.k') AS INT) * 7) % 350 AS code
+          FROM events)
+    """,
+    doc="P11: HTTP status → 3-way URL classification CASE "
+    "(ref modules/url_checker.py:23-46)",
+)
+def url_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    code = (F.lit(200) + (F.get_json_object("props", "$.k").cast("int") * 7) % 350).alias("code")
+    out = ev.select("event_id", code)
+    return out.select(
+        "event_id",
+        "code",
+        F.when(F.col("code").between(200, 299), "VALID")
+        .when(F.col("code").between(300, 399), "TO_UPDATE")
+        .when(F.col("code").between(400, 499), "TO_DELETE")
+        .otherwise("UNKNOWN")
+        .alias("url_status"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="Text-analysis: deterministic document fingerprint "
+    "(normalize → md5; ref scraping_utils.py:186-195 normalize + dedup use)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(normalize_for_fingerprint(F.col("text"))).alias("fingerprint"))
+
+
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Text-analysis: whitespace + BPE-ish regex token counting",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
+def _markers_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in LANGID_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_extract_all(lower(text), '\\w+'),"
+        f" t -> list_contains([{toks}], t)))"
+    )
+
+
+@register(
+    "langid_heuristic",
+    f"""
+    SELECT doc_id, pred_lang FROM (
+      SELECT doc_id,
+             CASE greatest({_markers_sql('en')}, {_markers_sql('fr')},
+                           {_markers_sql('es')}, {_markers_sql('de')})
+                  WHEN 0 THEN 'und'
+                  WHEN {_markers_sql('de')} THEN 'de'
+                  WHEN {_markers_sql('en')} THEN 'en'
+                  WHEN {_markers_sql('es')} THEN 'es'
+                  WHEN {_markers_sql('fr')} THEN 'fr'
+             END AS pred_lang
+      FROM documents)
+    """,
+    doc="Text-analysis / F15-shaped: marker-token language-ID heuristic "
+    "(argmax score, ties broken by the fixed de<en<es<fr probe order; "
+    "'und' when no markers hit). Ref computed_metadata.py:202-237 uses "
+    "lingua — the model-based twin is a pandas UDF in functions/udfs.py.",
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+
+    def score(lang: str):
+        markers = F.array(*[F.lit(t) for t in LANGID_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    best = F.greatest(score("en"), score("fr"), score("es"), score("de"))
+    pred = (
+        F.when(best == 0, "und")
+        .when(score("de") == best, "de")
+        .when(score("en") == best, "en")
+        .when(score("es") == best, "es")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+_SW = ", ".join(f"'{t}'" for t in STOPWORDS_EN)
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\w+')) AS DOUBLE) AS words,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha_chars,
+             CAST(len(list_filter(regexp_extract_all(lower(text), '\\w+'),
+                                  t -> list_contains([{_SW}], t))) AS DOUBLE) AS sw
+      FROM documents)
+    SELECT doc_id,
+           CAST(words AS INT) AS n_words,
+           ROUND(alpha_chars / greatest(words, 1.0) + 5e-10, 4) AS avg_word_len,
+           ROUND(sw / greatest(words, 1.0) + 5e-10, 4) AS stopword_ratio,
+           ROUND(0.4 * least(words / 100, 1.0)
+                 + 0.3 * (1.0 - sw / greatest(words, 1.0))
+                 + 0.3 * least(alpha_chars / greatest(words, 1.0) / 8, 1.0) + 5e-10, 4) AS quality
+    FROM m
+    """,
+    doc="Text-analysis: quality scoring from length / word-shape / "
+    "stopword-ratio signals (LLM-data-pipeline heuristic filter)",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).cast("double")
+    alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0)).cast("double")
+    sw_arr = F.array(*[F.lit(t) for t in STOPWORDS_EN])
+    sw = F.size(
+        F.filter(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0),
+            lambda t: F.array_contains(sw_arr, t),
+        )
+    ).cast("double")
+    g1 = F.greatest(words, F.lit(1.0))
+    # +5e-10 before rounding: ratios like 39/10/8 land exactly on the
+    # 4-dp half-way boundary, where Spark (binary-exact HALF_UP) and
+    # DuckDB (decimal-string) disagree; the shared epsilon breaks the
+    # tie identically in both engines.
+    eps = F.lit(5e-10)
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("n_words"),
+        F.round(alpha / g1 + eps, 4).alias("avg_word_len"),
+        F.round(sw / g1 + eps, 4).alias("stopword_ratio"),
+        F.round(
+            0.4 * F.least(words / 100, F.lit(1.0))
+            + 0.3 * (1.0 - sw / g1)
+            + 0.3 * F.least(alpha / g1 / 8, F.lit(1.0))
+            + eps,
+            4,
+        ).alias("quality"),
+    )
