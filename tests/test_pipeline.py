@@ -1,0 +1,210 @@
+"""End-to-end pipeline-stage tests — the port of the reference's
+node-level tests (tests/document_vectorizer/, tests/document_classifier/,
+tests/qdrant_syncronizer/) with deterministic stub models."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from welearn_datastack_spark.functions.udfs import (
+    pack_slices,
+    slice_documents,
+    stub_embedder,
+)
+from welearn_datastack_spark.pipeline.classifier import (
+    classify_slices,
+    document_verdicts,
+    non_sdg_documents,
+)
+from welearn_datastack_spark.pipeline.collector import (
+    collect_documents,
+    split_errors,
+    validate,
+)
+from welearn_datastack_spark.pipeline.keywords import extract_and_link
+from welearn_datastack_spark.pipeline.qdrant_sync import (
+    build_points,
+    doc_top2_sdgs,
+    route_collections,
+    sync,
+)
+from welearn_datastack_spark.pipeline.url_ingest import insert_urls
+from welearn_datastack_spark.pipeline.vectorizer import vectorize
+
+
+def test_pack_slices_budget_and_truncation():
+    text = "one two three. four five six seven. " + " ".join(["w"] * 30) + "."
+    out = pack_slices(text, slice_length=5)
+    assert out[0] == "one two three."  # 3+4 > 5 → new slice
+    assert out[1] == "four five six seven."
+    assert out[2].endswith("…") and len(out[2].rstrip("…").split()) == 5  # oversized truncated
+
+
+def test_slice_documents_order_sequence(spark):
+    docs = spark.createDataFrame(
+        [("d1", "First sentence. Second sentence. Third one here.")], ["id", "full_content"]
+    )
+    rows = slice_documents(docs, "id", "full_content", slice_length=4).collect()
+    assert [r["order_sequence"] for r in rows] == list(range(len(rows)))
+    assert all(r["body"] for r in rows)
+
+
+def test_vectorize_produces_unit_vectors(spark):
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma. delta epsilon."), ("d2", "zeta eta theta.")],
+        ["id", "full_content"],
+    )
+    out = vectorize(docs, slice_length=3).collect()
+    assert {r["document_id"] for r in out} == {"d1", "d2"}
+    for r in out:
+        v = np.array(r["embedding"])
+        assert v.shape == (64,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5  # L2-normalized like the reference
+
+
+def test_vectorize_replaces_old_slices(spark):
+    docs = spark.createDataFrame([("d1", "new content here.")], ["id", "full_content"])
+    old = vectorize(
+        spark.createDataFrame([("d1", "old."), ("d2", "other doc.")], ["id", "full_content"])
+    )
+    merged = vectorize(docs, existing_slices=old)
+    bodies = {r["document_id"]: r["body"] for r in merged.collect()}
+    assert bodies["d1"] == "new content here."  # replaced
+    assert bodies["d2"] == "other doc."  # untouched
+
+
+def _slice_df(spark):
+    emb = stub_embedder()(["climate energy water", "random words here", "poverty hunger"])
+    return spark.createDataFrame(
+        [
+            ("doc1", 0, [float(x) for x in emb[0]]),
+            ("doc1", 1, [float(x) for x in emb[1]]),
+            ("doc2", 0, [float(x) for x in emb[2]]),
+        ],
+        ["document_id", "order_sequence", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_classifier_forced_override_nulls_provenance(spark):
+    slices = _slice_df(spark)
+    forced = spark.createDataFrame([("doc1", [7])], ["document_id", "forced_sdgs"])
+    out = classify_slices(slices, forced_doc_sdgs=forced).collect()
+    for r in out:
+        if r["document_id"] == "doc1":
+            # single forced SDG short-circuits: n_classifier_id nulled
+            # (reference sdgs_classifiers.py:81,121)
+            assert r["n_classifier_id"] is None
+            if r["is_sdg"]:
+                assert r["sdg"] == 7
+        else:
+            assert r["n_classifier_id"] == "n-clf-v1"
+
+
+def test_document_verdicts_any_true(spark):
+    slices = _slice_df(spark)
+    classified = classify_slices(slices)
+    verdicts = {r["document_id"]: r["doc_is_sdg"] for r in document_verdicts(classified).collect()}
+    assert set(verdicts) == {"doc1", "doc2"}
+    non_sdg = non_sdg_documents(slices, classified).collect()
+    sdg_docs = {
+        r["document_id"] for r in classified.collect() if r["sdg"] is not None
+    }
+    assert {r["document_id"] for r in non_sdg} == {"doc1", "doc2"} - sdg_docs
+
+
+def test_collector_dispatch_validation_and_error_channel(spark):
+    cands = spark.createDataFrame(
+        [
+            ("1", "https://hal.science/doc1", "hal"),
+            ("2", "https://example.org/bad-page", "wiki"),
+            ("3", "https://example.org/ok", "wiki"),
+        ],
+        ["id", "url", "corpus"],
+    )
+    extracted = validate(collect_documents(cands))
+    good, errors = split_errors(extracted)
+    good_rows = {r["id"]: r for r in good.collect()}
+    err_rows = {r["document_id"]: r for r in errors.collect()}
+    assert set(good_rows) == {"1", "3"}
+    assert "hal plugin" in good_rows["1"]["full_content"]
+    assert err_rows["2"]["http_error_code"] == 422  # R6 dead-letter, not exception
+
+
+def test_keywords_get_or_create_and_relink(spark):
+    docs = spark.createDataFrame(
+        [("d1", "solar energy solar power"), ("d2", "ocean water ocean")],
+        ["document_id", "description"],
+    )
+    dim0 = spark.createDataFrame([("solar", "kw-solar")], ["keyword", "id"])
+    links0 = spark.createDataFrame([], "document_id string, keyword_id string")
+    dim, links = extract_and_link(docs, dim0, links0)
+    dim_rows = {r["keyword"]: r["id"] for r in dim.collect()}
+    assert dim_rows["solar"] == "kw-solar"  # existing id survives (J8)
+    link_rows = links.collect()
+    assert {r["document_id"] for r in link_rows} == {"d1", "d2"}
+    # d1's solar link must resolve to the pre-existing id
+    assert ("d1", "kw-solar") in {(r["document_id"], r["keyword_id"]) for r in link_rows}
+
+
+def test_qdrant_sync_routing_top2_and_overwrite(spark):
+    collections = spark.createDataFrame(
+        [
+            ("en", "model-a", "coll_en_a"),
+            ("multi", "model-a", "coll_multi_a"),
+        ],
+        ["lang", "model_name", "collection"],
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", "Doc One", "https://x/1", "en", "hal", "model-a"),
+            ("d2", "Doc Two", "https://x/2", "zz", "hal", "model-a"),
+        ],
+        ["document_id", "title", "url", "lang", "corpus", "model_name"],
+    )
+    routed = {r["document_id"]: r["target_collection"] for r in route_collections(docs, collections).collect()}
+    assert routed == {"d1": "coll_en_a", "d2": "coll_multi_a"}  # multilingual fallback
+
+    slice_sdgs = spark.createDataFrame(
+        [("d1", 3), ("d1", 3), ("d1", 5), ("d1", 5), ("d1", 1)], ["document_id", "sdg"]
+    )
+    top2 = doc_top2_sdgs(slice_sdgs).collect()[0]
+    assert top2["document_sdgs"] == [3, 5]  # counts tie → sdg asc (documented tiebreak)
+
+    slices = spark.createDataFrame(
+        [("d1", 0, "body text", [0.1, 0.2], 3)],
+        ["document_id", "order_sequence", "body", "embedding", "sdg"],
+    )
+    points = build_points(slices, docs.filter("document_id='d1'"), doc_top2_sdgs(slice_sdgs))
+    p = points.collect()[0]
+    assert p["point_id"] == "d1:0"
+    assert p["payload"]["document_sdg"] == [3, 5]
+    # overwrite-by-key: syncing same doc replaces, others survive
+    store = spark.createDataFrame(
+        [("d1:9", "d1", [0.0], None), ("dX:0", "dX", [1.0], None)],
+        "point_id string, document_id string, vector array<double>, payload_str string",
+    )
+    new = points.select(
+        "point_id",
+        "document_id",
+        F.col("vector").cast("array<double>").alias("vector"),
+        F.lit(None).cast("string").alias("payload_str"),
+    )
+    synced = sync(store, new)
+    assert {r["point_id"] for r in synced.collect()} == {"d1:0", "dX:0"}
+
+
+def test_insert_urls_dedup_and_scheme_filter(spark):
+    existing = spark.createDataFrame([("https://a/1",)], ["url"])
+    incoming = spark.createDataFrame(
+        [
+            ("https://a/1", "hal"),  # already known → skipped
+            ("https://a/2", "hal"),
+            ("https://a/2", "hal"),  # batch dup → one row
+            ("http://a/3", "hal"),  # not https → filtered (P7)
+        ],
+        ["url", "corpus"],
+    )
+    out = insert_urls(existing, incoming).collect()
+    assert [r["url"] for r in out] == ["https://a/2"]
+    assert out[0]["id"]  # deterministic id assigned

@@ -1,0 +1,95 @@
+"""Streaming state-machine and multimodal-column tests."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from welearn_datastack_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    sample_frames,
+)
+from welearn_datastack_spark.streaming.state_machine import (
+    latest_state_batch_equivalent,
+    stream_latest_state,
+    stream_windowed_counts,
+)
+
+EVENTS_FILE = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # streaming file sources tail a DIRECTORY; stage the log file into one
+    d = tmp_path_factory.mktemp("events_log")
+    shutil.copy(EVENTS_FILE, d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_latest_state_matches_batch(spark, tmp_path, events_dir):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_latest_state(spark, events_dir, ckpt, out)
+    # multiple micro-batches may emit the same key; reader takes the
+    # arg-max per key, like any consumer of the append-only state log
+    got = {
+        r["user_id"]: (r["last_event_id"], r["last_event_type"])
+        for r in spark.read.parquet(out)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("last_event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["last_event_id"], r["last_event_type"])
+        for r in latest_state_batch_equivalent(spark, events_dir).collect()
+    }
+    assert got == want  # stateful stream ≡ batch arg-max (R2)
+
+
+def test_stream_windowed_counts_totals(spark, tmp_path, events_dir):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_windowed_counts(spark, events_dir, ckpt, out, window="1 day", watermark="0 seconds")
+    total = spark.read.parquet(out).agg(F.sum("n").alias("t")).collect()[0]["t"]
+    # append mode emits only CLOSED windows (window end ≤ watermark =
+    # max event time): the in-flight final day is correctly withheld
+    ev = spark.read.parquet(events_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    max_ts, = ev.agg(F.max("ts")).first()
+    expected = ev.filter(
+        F.date_add(F.date_trunc("day", "ts").cast("date"), 1).cast("timestamp") <= F.lit(max_ts)
+    ).count()
+    assert total == expected
+    assert 0 < total < 1000
+
+
+def test_multimodal_attach_decode_sample(spark):
+    docs = spark.createDataFrame(
+        [("d1", b"fakejpegbytes-1"), ("d2", b"fakejpegbytes-22")], ["id", "payload"]
+    )
+    media = attach_media(docs, "payload", mime="image/jpeg")
+    m = {r["id"]: r["media_meta"] for r in media.collect()}
+    assert m["d1"]["mime"] == "image/jpeg"
+    assert m["d1"]["n_bytes"] == 15
+    assert len(m["d1"]["checksum"]) == 32
+
+    decoded = decode_media(media, "payload")
+    rows = {r["id"]: r for r in decoded.collect()}
+    assert 64 <= rows["d1"]["width"] <= 576 and 64 <= rows["d1"]["height"] <= 576
+    # deterministic: same payload → same fake dimensions
+    again = {r["id"]: r for r in decode_media(media, "payload").collect()}
+    assert again["d1"]["width"] == rows["d1"]["width"]
+
+    frames = sample_frames(decoded.withColumn("n_frames", F.lit(10)), every_n=3)
+    f1 = [r["frame_index"] for r in frames.filter("id='d1'").collect()]
+    assert f1 == [0, 3, 6, 9]

@@ -1,0 +1,53 @@
+"""Process-state machine vocabulary + transition helpers.
+
+The reference drives everything off an append-only ``process_state``
+table whose ``title`` enum has exactly these 10 steps
+(alembic/versions/821173cf9c5d_initial_migration.py:289–302); a
+transition is an appended row, current state is the arg-max on
+``operation_order`` (README.md:25–27). Here the log is a DataFrame
+(or Delta/stream at scale) and transitions are unioned rows with a
+monotonically increasing order column supplied by the caller's batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# reference ENUM values, 821173cf9c5d:289–302
+STEPS = (
+    "url_retrieved",
+    "document_scraped",
+    "document_vectorized",
+    "document_classified_sdg",
+    "document_classified_non_sdg",
+    "document_with_keywords",
+    "document_in_qdrant",
+    "document_is_invalid",
+    "kept_for_trace",
+    "document_is_irretrievable",
+)
+
+
+def make_transitions(ids: DataFrame, id_col: str, step: str, base_order: int) -> DataFrame:
+    """Build state-transition rows for a batch of document ids.
+
+    ``operation_order`` must be monotonically increasing across the
+    log (reference uses a DB sequence); callers pass the current max
+    as ``base_order`` and each id in the batch gets a distinct order
+    via a deterministic rank on the id — NOT monotonically_increasing_id,
+    whose values depend on partition layout and would break
+    idempotent re-runs."""
+    if step not in STEPS:
+        raise ValueError(f"unknown step {step!r}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    return ids.select(F.col(id_col).alias("document_id")).withColumn(
+        "operation_order", F.lit(base_order) + F.row_number().over(w)
+    ).withColumn("title", F.lit(step))
+
+
+def append_transitions(log: DataFrame, transitions: DataFrame) -> DataFrame:
+    """Append-only union (the log is immutable; R2)."""
+    return log.unionByName(transitions, allowMissingColumns=True)

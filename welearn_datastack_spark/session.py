@@ -15,6 +15,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_self_on_executors(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile.
+
+    cloudpickle serializes UDF closures BY REFERENCE to their module;
+    if the driver imported the package from a path the workers don't
+    share (e.g. a sys.path insert), every pandas-UDF stage dies with
+    ModuleNotFoundError. Zipping the package and addPyFile-ing it makes
+    UDF stages location-independent — called lazily by every
+    mapInPandas entry point, idempotent per application."""
+    key = spark.sparkContext.applicationId
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    import welearn_datastack_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"welearn_datastack_spark_{pkg.__version__}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
+
+
 def get_spark(app_name: str = "welearn-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

@@ -1,0 +1,154 @@
+"""Structured-Streaming realization of the reference's cadence +
+state semantics (SURVEY.md §2.10 R1–R3).
+
+The reference's "stream" is Argo CronWorkflows firing hourly over an
+append-only Postgres state log (k8s values.yaml:93–290); current
+state is the per-document arg-max. Structured Streaming with
+``Trigger.AvailableNow`` over the same append-only log reproduces it
+exactly: each trigger drains whatever accumulated, keyed state is the
+running latest event per key, and the cron cadence becomes the
+trigger schedule.
+
+Two shapes are provided:
+
+- ``stream_latest_state``: stateful keyed latest-event via
+  ``applyInPandasWithState`` — true incremental state (the 100 TB
+  shape: state store holds one row per key, each micro-batch touches
+  only arriving keys).
+- ``stream_windowed_counts``: event-time windowed counts with a
+  watermark for late data (R1/late-data semantics the reference
+  handles implicitly by re-running hourly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "last_event_id LONG, last_event_type STRING"
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_event_type", T.StringType()),
+    ]
+)
+
+
+def _update_latest(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keyed reducer: keep the max-event_id row per user (R2 — the
+    arg-max state machine as true incremental state)."""
+    best_id, best_type = state.get if state.exists else (None, None)
+    for pdf in pdfs:
+        i = pdf["event_id"].idxmax()
+        if best_id is None or pdf.loc[i, "event_id"] > best_id:
+            best_id = int(pdf.loc[i, "event_id"])
+            best_type = pdf.loc[i, "event_type"]
+    state.update((best_id, best_type))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "last_event_id": [best_id], "last_event_type": [best_type]}
+    )
+
+
+def stream_latest_state(
+    spark: SparkSession, events_path: str, checkpoint_dir: str, out_dir: str
+) -> Any:
+    """Drain the events log once (AvailableNow) maintaining per-key
+    latest state; returns the finished StreamingQuery. Output mode
+    'update': each micro-batch emits only touched keys.
+
+    ``events_path`` must be a DIRECTORY of parquet files (streaming
+    file sources tail directories — the append-only log grows by
+    adding files, exactly the reference's append-only table)."""
+    from ..session import ensure_self_on_executors
+
+    ensure_self_on_executors(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        )
+        .parquet(events_path)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_latest,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # stateful update-mode output can't go straight to a file sink
+    # (file sinks are append-only) — foreachBatch appends each
+    # micro-batch's touched keys; readers take the arg-max per key,
+    # identical to how the reference reads its append-only state log
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> Any:
+    """Event-time tumbling-window counts per event_type with a
+    watermark bounding late data — the streaming twin of the hourly
+    cron aggregation cadence (R1)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        )
+        .parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_state_batch_equivalent(spark: SparkSession, events_path: str) -> DataFrame:
+    """The batch arg-max the stream must agree with (test oracle)."""
+    from ..operators.state_log import latest_state
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(events_path)
+    return latest_state(ev, keep_cols=("event_type",)).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
