@@ -33,6 +33,8 @@ HEADLINE = [
     "byte_budget_admission",
     "cosine_topk",
     "grouped_vector_search",
+    "lsh_ann_topk",
+    "word_window_slices",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",

@@ -1,0 +1,72 @@
+"""Physical-plan quality gates — the queries must not merely be
+correct, they must compile to the plan you'd want at 100 TB:
+filters pushed into the parquet scan, pruned read schemas, broadcast
+joins on dimension sides, no redundant shuffles."""
+
+from __future__ import annotations
+
+from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+_load_groups()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing_summary")
+    # ReadSchema must not include unused columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_comment"):
+        assert unused not in read_schema, f"{unused} not pruned: {read_schema}"
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_latest_event_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "latest_event")
+    # one clustering shuffle for the ranking window — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    # Spark's WindowGroupLimit kicks in: partial top-1 BEFORE the
+    # shuffle, so the exchange moves ≈|keys| rows, not the whole log
+    assert "WindowGroupLimit" in plan
+
+
+def test_model_resolution_no_fact_shuffle_for_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "model_resolution")
+    # all three joins broadcast — the fact side never shuffles for a
+    # join; the only clustering shuffle is the ranking window's
+    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_python_in_relational_kernel(spark, sf_dir):
+    for name in (
+        "latest_event",
+        "model_resolution",
+        "top2_event_types",
+        "byte_budget_admission",
+        "cosine_topk",
+        "simhash_fingerprints",
+        "quality_score",
+        "readability",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_semi_and_anti_join_operators(spark, sf_dir):
+    semi = _plan(spark, sf_dir, "semi_join_recent_customers")
+    anti = _plan(spark, sf_dir, "anti_join_stale_customers")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti

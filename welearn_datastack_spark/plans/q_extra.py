@@ -1,0 +1,405 @@
+"""Extra query group — closes the remaining SURVEY.md §2 inventory
+items as driver-visible oracle-checked queries: P1 octet_length
+projections, F16/F17 date parsing, F4/F5/F6 string cleanup, A5
+grouped collection, J9 broadcast lookup, J10 extracted-key
+re-association, F24/W5 slicing (SQL-expressible word-window variant),
+S16 overwrite-by-key, F18 inverted-abstract round-trip, the
+LSH-bucketed ANN scale path, the streaming state machine, and
+multimodal metadata.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "octet_projection",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(length(text) AS INT) AS n_codepoints,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    doc="P1 + multimodal metadata: byte-length projection the byte-budget "
+    "admission reads (ref retrieve_data_from_database.py:76-95 "
+    "octet_length) + content checksum",
+)
+def octet_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_codepoints"),
+        F.md5("text").alias("checksum"),
+    )
+
+
+@register(
+    "date_parts",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           date_trunc('day', ts)::TIMESTAMP AS day_ts,
+           CAST(hour(ts) AS INT) AS hr
+    FROM events
+    """,
+    doc="F16/F17: timestamp → epoch seconds / day truncation / hour "
+    "(ref hal.py:86-100, ted.py:103-107 date parsing)",
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.hour("ts").alias("hr"),
+    )
+
+
+@register(
+    "string_cleanup_chain",
+    """
+    SELECT doc_id,
+           replace('https://doi.org/10.5555/' || doc_id, 'https://doi.org/', '') AS doi,
+           regexp_replace('https://hal.science/hal-' || doc_id || 'v' || (doc_id % 7 + 1),
+                          'v[0-9]+$', '') AS hal_url,
+           lower(replace(CASE doc_id % 3 WHEN 0 THEN 'CC BY 4.0'
+                                         WHEN 1 THEN 'CC BY-SA 3.0'
+                                         ELSE 'CC0 1.0' END, ' ', '-')) AS license_slug
+    FROM documents
+    """,
+    doc="F4/F5/F6: doi prefix strip, HAL version-suffix strip, CC "
+    "license canonicalization (ref scraping_utils.py:59-74,159-183)",
+)
+def string_cleanup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_doi, strip_hal_versioning
+
+    docs = load_table(spark, sf_dir, "documents")
+    doi_raw = F.concat(F.lit("https://doi.org/10.5555/"), F.col("doc_id").cast("string"))
+    hal_raw = F.concat(
+        F.lit("https://hal.science/hal-"),
+        F.col("doc_id").cast("string"),
+        F.lit("v"),
+        (F.col("doc_id") % 7 + 1).cast("string"),
+    )
+    license_raw = (
+        F.when(F.col("doc_id") % 3 == 0, "CC BY 4.0")
+        .when(F.col("doc_id") % 3 == 1, "CC BY-SA 3.0")
+        .otherwise("CC0 1.0")
+    )
+    return docs.select(
+        "doc_id",
+        clean_doi(doi_raw).alias("doi"),
+        strip_hal_versioning(hal_raw).alias("hal_url"),
+        F.lower(F.replace(license_raw, F.lit(" "), F.lit("-"))).alias("license_slug"),
+    )
+
+
+@register(
+    "grouped_event_list",
+    """
+    SELECT user_id,
+           list(event_id ORDER BY event_id) AS event_ids,
+           CAST(len(list(event_id)) AS INT) AS n
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    doc="A5: slices-per-document grouping as ordered collect_list "
+    "(ref document_classifier.py:80-87 itertools.groupby)",
+)
+def grouped_event_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+
+
+@register(
+    "broadcast_lookup",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="J9: broadcast dimension lookup join (ref slice_id→sdg dict, "
+    "retrieve_data_from_database.py:416-429)",
+)
+def broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "api_reassociation",
+    """
+    SELECT e.event_id, d.doc_id, d.source
+    FROM (SELECT event_id,
+                 CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+          FROM events) e
+    JOIN documents d ON d.doc_id = e.k
+    """,
+    doc="J10: API-result re-association — join on a regexp-extracted "
+    "key (ref hal.py:243-252 halId extraction, ted.py:56-57)",
+)
+def api_reassociation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("int").alias("k")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return ev.join(docs, ev.k == docs.doc_id).select("event_id", "doc_id", "source")
+
+
+@register(
+    "word_window_slices",
+    """
+    SELECT doc_id, CAST(i AS INT) AS order_sequence,
+           array_to_string(t[i * 15 + 1 : i * 15 + 15], ' ') AS body
+    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+         unnest(generate_series(0, CAST(ceil(len(t) / 15.0) AS INT) - 1)) AS g(i)
+    """,
+    doc="F24/W5 (SQL-expressible variant): fixed word-window slicing "
+    "with per-document order_sequence — the UDTF shape of the "
+    "sentence-packer (exact sentence semantics live in "
+    "functions/udfs.py:slice_documents)",
+)
+def word_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select(
+        "doc_id", F.regexp_extract_all("text", F.lit(r"\S+"), 0).alias("t")
+    )
+    n_slices = F.ceil(F.size("t") / 15.0).cast("int")
+    bodies = F.transform(
+        F.sequence(F.lit(0), n_slices - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * 15 + 1, 15), " "),
+    )
+    return tokenized.select(
+        "doc_id", F.posexplode(bodies).alias("order_sequence", "body")
+    )
+
+
+@register(
+    "overwrite_by_key_sync",
+    """
+    SELECT doc_id, val FROM (
+      SELECT doc_id, 'old' AS val FROM documents d
+      WHERE doc_id % 2 = 0
+        AND NOT EXISTS (SELECT 1 FROM documents i
+                        WHERE i.doc_id = d.doc_id AND i.doc_id % 4 = 0)
+      UNION ALL
+      SELECT doc_id, 'new' AS val FROM documents WHERE doc_id % 4 = 0
+    )
+    """,
+    doc="S16: delete+upsert ≡ overwrite-by-key MERGE (ref qdrant delete "
+    "by doc filter + upsert, qdrant_handler.py:68-111)",
+)
+def overwrite_by_key_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import overwrite_by_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit("old").alias("val")
+    )
+    incoming = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.lit("new").alias("val")
+    )
+    return overwrite_by_key(existing, incoming, key="doc_id")
+
+
+@register(
+    "inverted_abstract_roundtrip",
+    """
+    SELECT doc_id, array_to_string(regexp_extract_all(text, '\\w+'), ' ') AS reconstructed
+    FROM documents
+    """,
+    doc="F18: OpenAlex inverted-abstract reconstruction — build the "
+    "{word: [positions]} map in-engine, then invert it back to text "
+    "with pure array algebra; the oracle states the expected fixpoint "
+    "(ref open_alex.py:63-67)",
+)
+def inverted_abstract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import inverted_abstract_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).alias("pos", "w")
+    )
+    inverted = toks.groupBy("doc_id", "w").agg(F.collect_list("pos").alias("positions"))
+    maps = inverted.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "positions"))).alias("m")
+    )
+    return maps.select("doc_id", inverted_abstract_to_text(F.col("m")).alias("reconstructed"))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path for similarity search. The random
+# hyperplanes are fixed ±1 constants derived from md5 at registration
+# time, so Spark and the SQL oracle share them as literals.
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 6
+_DIMS = 64
+
+
+def _plane(bit: int) -> list[float]:
+    return [
+        1.0 if int(hashlib.md5(f"42:{bit}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+        for j in range(_DIMS)
+    ]
+
+
+_PLANES = [_plane(b) for b in range(_N_PLANES)]
+
+
+def _bucket_sql() -> str:
+    parts = []
+    for p in _PLANES:
+        arr = "[" + ", ".join(str(x) for x in p) + "]"
+        parts.append(
+            "CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i])) >= 0"
+            " THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+def _bucket_col() -> F.Column:
+    signs = []
+    for p in _PLANES:
+        const = F.array(*[F.lit(x) for x in p])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), const, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        signs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*signs)
+
+
+@register(
+    "lsh_ann_topk",
+    f"""
+    WITH tagged AS (
+      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
+    ), q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM tagged WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS ce, bucket FROM tagged WHERE vec_id >= 10),
+    pairs AS (
+      SELECT q.q_id, c.c_id, q.bucket,
+             ROUND(
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))))), 6) AS cosine
+      FROM q JOIN c ON c.bucket = q.bucket
+    )
+    SELECT q_id, c_id, cosine, rnk FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, c_id ASC) AS INT) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 3
+    """,
+    doc="Similarity search, scale path: random-hyperplane LSH buckets → "
+    "bucket-local equi-join candidates → top-3 per query. At 100 TB the "
+    "bucket join replaces the broadcast cross product: both sides "
+    "shuffle once on a uniform key (see operators/similarity.py)",
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+    from ..operators.topk import top_k_by
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+    q = tagged.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = tagged.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    pairs = q.join(c, on="bucket").select(
+        "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
+    )
+    return top_k_by(pairs, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
+        "q_id", "c_id", "cosine", "rnk"
+    )
+
+
+@register(
+    "stream_latest_state",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="R1/R2: Structured-Streaming stateful latest-state "
+    "(applyInPandasWithState, AvailableNow trigger) — the stream's "
+    "final state must equal the batch arg-max, which is the oracle",
+)
+def stream_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.state_machine import stream_latest_state
+
+    work = tempfile.mkdtemp(prefix="welearn_stream_")
+    events_dir = f"{work}/events"
+    out_dir = f"{work}/out"
+    ckpt = f"{work}/ckpt"
+    import os
+
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+    stream_latest_state(spark, events_dir, ckpt, out_dir)
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("last_event_id"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "last_event_id", "last_event_type")
+    )
+
+
+@register(
+    "multimodal_decode",
+    None,  # decode stub is not SQL-expressible → rows-only check
+    doc="Multimodal: binary payload + typed metadata + stubbed decode "
+    "via mapInPandas (width/height/n_frames deterministic from payload "
+    "hash; real codec drops in without plan changes)",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_media, decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = attach_media(docs, "payload", mime="image/jpeg")
+    return decode_media(media, "payload").select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        "width",
+        "height",
+        "n_frames",
+    )
