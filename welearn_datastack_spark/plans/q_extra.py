@@ -403,3 +403,157 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_frames",
     )
+
+
+@register(
+    "materialized_view_refresh",
+    """
+    SELECT user_id, last_event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT user_id, event_type AS last_event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    ) GROUP BY user_id, last_event_type
+    """,
+    doc="S18: REFRESH MATERIALIZED VIEW = CREATE OR REPLACE view + query "
+    "(ref update_materialized_view.py:26-45, identifier sanitized "
+    "against the same ^[\\w.]+$ rule)",
+)
+def materialized_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from ..sources.tables import register_views
+
+    view_name = "mv_latest_state"
+    if not _re.fullmatch(r"[\w.]+", view_name):  # ref regular_expression.py:43
+        raise ValueError(f"illegal identifier {view_name!r}")
+    register_views(spark, sf_dir)
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW {view_name} AS
+        SELECT user_id, event_type AS last_event_type
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """
+    )
+    return spark.sql(
+        f"SELECT user_id, last_event_type, COUNT(*) AS n FROM {view_name}"
+        " GROUP BY user_id, last_event_type"
+    )
+
+
+@register(
+    "license_allowlist_filter",
+    """
+    SELECT doc_id, license_slug FROM (
+      SELECT doc_id, lower(replace(CASE doc_id % 5 WHEN 0 THEN 'CC BY 4.0'
+                                                   WHEN 1 THEN 'CC BY-SA 3.0'
+                                                   WHEN 2 THEN 'All Rights Reserved'
+                                                   WHEN 3 THEN 'CC0 1.0'
+                                                   ELSE 'Proprietary' END, ' ', '-')) AS license_slug
+      FROM documents
+    ) WHERE license_slug IN ('cc-by-4.0', 'cc-by-sa-3.0', 'cc0-1.0')
+    """,
+    doc="P8: AUTHORIZED_LICENSES allow-list predicate (ref "
+    "constants.py:169-185, enforced at e.g. open_alex.py:312-323); "
+    "disallowed rows route to the error channel in the pipeline",
+)
+def license_allowlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 5 == 0, "CC BY 4.0")
+        .when(F.col("doc_id") % 5 == 1, "CC BY-SA 3.0")
+        .when(F.col("doc_id") % 5 == 2, "All Rights Reserved")
+        .when(F.col("doc_id") % 5 == 3, "CC0 1.0")
+        .otherwise("Proprietary")
+    )
+    slug = F.lower(F.replace(raw, F.lit(" "), F.lit("-")))
+    return (
+        docs.select("doc_id", slug.alias("license_slug"))
+        .filter(F.col("license_slug").isin("cc-by-4.0", "cc-by-sa-3.0", "cc0-1.0"))
+    )
+
+
+@register(
+    "typography_repair",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace('First.Second:' || substr(text, 1, 20) || 'smallBig',
+                                         '([.!?;:])(\w)', '\1 \2', 'g'),
+                          '([a-z])([A-Z])', '\1 \2', 'g') AS repaired
+    FROM documents
+    """,
+    doc="F7: typography repair — space after closing punctuation, space "
+    "before interior capitals (ref scraping_utils.py:133-156)",
+)
+def typography_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import add_space_after_closing_sign, add_space_before_capital_letter
+
+    docs = load_table(spark, sf_dir, "documents")
+    broken = F.concat(F.lit("First.Second:"), F.substring("text", 1, 20), F.lit("smallBig"))
+    return docs.select(
+        "doc_id",
+        add_space_before_capital_letter(add_space_after_closing_sign(broken)).alias("repaired"),
+    )
+
+
+@register(
+    "pdf_cleanup_chain",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               replace(replace('ﬁnal ﬂow' || chr(7) || 'hyphen-
+  ated ' || substr(text, 1, 15), 'ﬁ', 'fi'), 'ﬂ', 'fl'),
+               '-\s*\n\s*', '', 'g'),
+             '[^\x20-\x7E]', '', 'g') AS cleaned
+    FROM documents
+    """,
+    doc="F19: PDF text cleanup chain — ligature replacement, "
+    "dehyphenation across line breaks, non-printable strip (ref "
+    "pdf_extractor.py:81-183, WORD_CUT_BY_BACKLINES_REGEX "
+    "regular_expression.py:28)",
+)
+def pdf_cleanup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import dehyphenate
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("ﬁnal ﬂow\x07hyphen-\n  ated "), F.substring("text", 1, 15)
+    )
+    deligatured = F.replace(F.replace(dirty, F.lit("ﬁ"), F.lit("fi")), F.lit("ﬂ"), F.lit("fl"))
+    cleaned = F.regexp_replace(dehyphenate(deligatured), r"[^\x20-\x7E]", "")
+    return docs.select("doc_id", cleaned.alias("cleaned"))
+
+
+@register(
+    "bfs_reachability",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id AS src,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      FROM events
+    ), r(node, d) AS (
+      SELECT DISTINCT src AS node, 0 AS d FROM edges WHERE src < 3
+      UNION
+      SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.node WHERE r.d < 3
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS depth FROM r GROUP BY node
+    """,
+    doc="S6: Wikipedia-crawl-shaped BFS with depth budget — iterative "
+    "frontier joins in Spark, recursive CTE as the oracle (ref "
+    "wikipedia_collector.py:41-215)",
+)
+def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_min_depth
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    seeds = edges.filter(F.col("src") < 3).select(F.col("src").alias("node")).dropDuplicates()
+    return bfs_min_depth(edges, seeds, max_depth=3).select(
+        "node", F.col("depth").cast("int").alias("depth")
+    )
