@@ -557,3 +557,52 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_min_depth(edges, seeds, max_depth=3).select(
         "node", F.col("depth").cast("int").alias("depth")
     )
+
+
+@register(
+    "change_detection_requeue",
+    """
+    SELECT doc_id, verdict FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN 'document_is_invalid'
+                  WHEN abs((n_chars + (doc_id % 41) - 20) - n_chars)
+                       > 0.05 * n_chars THEN 'url_retrieved'
+                  ELSE 'unchanged' END AS verdict
+      FROM documents)
+    WHERE verdict != 'unchanged'
+    """,
+    doc="R5: CDC-lite change detection — WikipediaUpdater re-queues a "
+    "document when the revision diff exceeds 5% of the old size, and "
+    "invalidates on redirect (ref modules/wikipedia_updater.py:75-122, "
+    "threshold at :122). Old/new sizes synthesized deterministically.",
+)
+def change_detection_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new_size = F.col("n_chars") + (F.col("doc_id") % 41) - 20
+    verdict = (
+        F.when(F.col("doc_id") % 97 == 0, "document_is_invalid")
+        .when(F.abs(new_size - F.col("n_chars")) > 0.05 * F.col("n_chars"), "url_retrieved")
+        .otherwise("unchanged")
+    )
+    return docs.select("doc_id", verdict.alias("verdict")).filter(F.col("verdict") != "unchanged")
+
+
+@register(
+    "ordered_id_batch",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars > 200
+    ORDER BY doc_id LIMIT 100
+    """,
+    doc="O5: backfill batch pick — predicate + ORDER BY id LIMIT "
+    "batch_size (ref BackFiller "
+    "batch_generator_queries/document_with_doi_column_null.sql)",
+)
+def ordered_id_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 200)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(100)
+    )
