@@ -1,0 +1,65 @@
+"""Scale-operator tests: binary codec round-trip, salted aggregation
+equivalence, partitioned writes with partition pruning."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from welearn_datastack_spark.functions.codec import bytes_to_embedding, embedding_to_bytes
+from welearn_datastack_spark.operators.skew import salted_sum_count
+
+
+def test_codec_roundtrip_exact(spark):
+    vals = [
+        [0.0, -0.0, 1.5, -2.25],
+        [3.4e38, -3.4e38, 1e-45, 0.1],  # extremes + subnormal + inexact
+        None,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v array<float>")
+    out = df.select(
+        "i",
+        embedding_to_bytes(F.col("v")).alias("b"),
+        bytes_to_embedding(embedding_to_bytes(F.col("v"))).alias("rt"),
+    ).collect()
+    rows = {r["i"]: r for r in out}
+    # byte layout: float32 little-endian, 4 bytes per element
+    assert rows[0]["b"] == np.asarray(vals[0], dtype="<f4").tobytes()
+    assert len(rows[0]["b"]) == 16
+    for i, v in enumerate(vals):
+        if v is None:
+            assert rows[i]["rt"] is None
+        else:
+            got = np.asarray(rows[i]["rt"], dtype=np.float32)
+            want = np.asarray(v, dtype=np.float32)
+            assert np.array_equal(got, want), (i, got, want)
+
+
+def test_salted_aggregation_equals_direct(spark, sf_dir):
+    from welearn_datastack_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: (round(r["s"], 2), r["c"])
+        for r in ev.groupBy("event_type").agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")).collect()
+    }
+    salted = {
+        r["event_type"]: (round(r["sum_value"], 2), r["n_rows"])
+        for r in salted_sum_count(ev, ["event_type"], "value", n_salts=16).collect()
+    }
+    assert salted == direct
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from welearn_datastack_spark.sources.tables import load_table
+
+    out = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    # the 100 TB layout: partition by the dispatch key so per-corpus /
+    # per-lang jobs scan only their slice (SCALE.md §1 storage-aligned)
+    docs.write.partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:500]
+    # pruned read returns exactly the en rows
+    assert back.count() == docs.filter(F.col("lang") == "en").count()

@@ -108,17 +108,32 @@ def jaccard_pairs(
     )
 
 
+# universal-hash family for MinHash: mh_i = (a_i·h + b_i) mod p over a
+# 31-bit base hash. One md5 per shingle (not per shingle×seed) — the
+# permutations are integer arithmetic, the textbook MinHash form.
+_MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def _mh_params(seed: int) -> tuple[int, int]:
+    a = 2 * seed + 1  # odd multipliers
+    b = 7919 * (seed + 1)
+    return a, b
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
     """MinHash signature rows (id_col, seed, mh): per seed, the min
-    over shingles of hexint(md5(seed ':' shingle)). Map-side partial
-    min before the shuffle → the shuffle carries |D|·n_hashes rows,
-    not |shingles|·n_hashes."""
+    over shingles of ``(a_seed · h31(shingle) + b_seed) mod (2^31-1)``
+    where h31 is the md5-derived base hash. Map-side partial min
+    before the shuffle → the shuffle carries |D|·n_hashes rows, not
+    |shingles|·n_hashes; hashing cost is ONE md5 per shingle."""
+    base = (hexint(F.col("shingle")) % _MH_PRIME).alias("h31")
+    hashed = shingles.select(F.col(id_col), base)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    h = hexint(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+    a = F.element_at(F.array(*[F.lit(_mh_params(s)[0]) for s in range(n_hashes)]), F.col("seed") + 1)
+    b = F.element_at(F.array(*[F.lit(_mh_params(s)[1]) for s in range(n_hashes)]), F.col("seed") + 1)
     return (
-        shingles.select(F.col(id_col), F.col("shingle"), seeds)
-        .withColumn("mh", h)
-        .drop("shingle")
+        hashed.select(F.col(id_col), F.col("h31"), seeds)
+        .withColumn("mh", (a * F.col("h31") + b) % _MH_PRIME)
         .groupBy(id_col, "seed")
         .agg(F.min("mh").alias("mh"))
     )

@@ -90,10 +90,12 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_candidates",
     _SHINGLES_CTE
     + f"""
-    , hashes AS (
+    , base AS (
+      SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
+    ), hashes AS (
       SELECT doc_id, seed,
-             {_HEXINT.format(x="CAST(seed AS VARCHAR) || ':' || shingle")} AS h
-      FROM sh, unnest(generate_series(0, 7)) AS s(seed)
+             ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
+      FROM base, unnest(generate_series(0, 7)) AS s(seed)
     ), sigs AS (
       SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
     ), bands AS (

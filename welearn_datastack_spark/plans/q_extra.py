@@ -606,3 +606,47 @@ def ordered_id_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "embedding_codec_roundtrip",
+    """
+    SELECT vec_id, embedding FROM embeddings
+    """,
+    doc="Embedding binary codec: array<float> → float32-LE bytes → "
+    "array<float> must be the identity (ref encode "
+    "embedding_model_helpers.py:111-121, decode "
+    "sdgs_classifiers.py:39-41; flagged as an exact-parity risk in "
+    "SURVEY.md §7). The oracle states the fixpoint.",
+)
+def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.codec import bytes_to_embedding, embedding_to_bytes
+    from ..session import ensure_self_on_executors
+
+    ensure_self_on_executors(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", bytes_to_embedding(embedding_to_bytes(F.col("embedding"))).alias("embedding")
+    )
+
+
+@register(
+    "salted_aggregation",
+    """
+    SELECT event_type, ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe aggregation: two-phase salted sum/count over the "
+    "5-value event_type key (a guaranteed hot key at scale) must equal "
+    "the direct GROUP BY — the oracle IS the direct form "
+    "(operators/skew.py; no reference analog, 100 TB extension)",
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(ev, ["event_type"], "value", n_salts=16)
+    return out.select(
+        "event_type", F.round("sum_value", 2).alias("sum_value"), F.col("n_rows")
+    )
