@@ -15,10 +15,11 @@ from welearn_datastack_spark.plans.registry import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the reference's core
-    batch-generator shape — latest state per key from the append-only
-    event log (J1/W1), the query every pipeline stage starts from."""
-    return all_queries()["latest_event"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the reference's full
+    batch-generator pipeline in one dataflow — latest-state arg-max →
+    step filter → document join → ordered limit → byte-budget
+    prefix-sum admission → capped bucketing (SURVEY.md §7 step 1)."""
+    return all_queries()["generate_vectorize_batch"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

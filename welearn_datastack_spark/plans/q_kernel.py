@@ -154,3 +154,63 @@ def capped_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def even_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return even_split(docs, qty=7, order_by=[F.asc("doc_id")]).select("doc_id", "bucket")
+
+
+@register(
+    "generate_vectorize_batch",
+    f"""
+    WITH cur AS (
+      SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    ), candidates AS (
+      SELECT c.user_id AS doc_id, c.last_event_id, d.n_chars
+      FROM cur c JOIN documents d ON d.doc_id = c.user_id
+      WHERE c.last_event_type IN ('view', 'click')
+      ORDER BY c.last_event_id DESC
+      LIMIT 100
+    ), admitted AS (
+      SELECT doc_id, last_event_id, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY last_event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+      FROM candidates
+    )
+    SELECT doc_id, last_event_id, n_chars, cum_chars, bucket FROM (
+      SELECT *, CAST(FLOOR((row_number() OVER (ORDER BY last_event_id DESC) - 1) / 10) AS INT)
+                  AS bucket
+      FROM admitted WHERE cum_chars <= 20000
+    ) WHERE bucket < 8
+    """,
+    doc="FLAGSHIP (SURVEY §7 step 1) — the reference's end-to-end batch "
+    "generator in one dataflow: latest-state arg-max (J1/W1) → step "
+    "filter (P2) → document join (J2) → most-recent-first LIMIT "
+    "(O1/O3) → byte-budget prefix-sum admission (A3/W3) → capped "
+    "bucketing with overflow drop (S13). Mirrors "
+    "generate_to_vectorize_batch.py:66-76 + "
+    "retrieve_data_from_database.py:114-247 + batch_generator.py:44-129.",
+)
+def generate_vectorize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.state_log import byte_budget_admission as admit
+    from ..operators.state_log import capped_buckets as buckets
+
+    log = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    cur = latest_state(log, keep_cols=("event_type",))
+    candidates = (
+        cur.filter(F.col("event_type").isin("view", "click"))
+        .join(docs, cur.user_id == docs.doc_id)
+        .select("doc_id", F.col("event_id").alias("last_event_id"), "n_chars")
+        .orderBy(F.desc("last_event_id"))
+        .limit(100)
+    )
+    admitted = admit(
+        candidates,
+        size_col="n_chars",
+        budget=20000,
+        order_by=[F.desc("last_event_id")],
+        cum_col="cum_chars",
+    )
+    return buckets(
+        admitted, order_by=[F.desc("last_event_id")], threshold=10, max_buckets=8
+    ).select("doc_id", "last_event_id", "n_chars", "cum_chars", "bucket")
