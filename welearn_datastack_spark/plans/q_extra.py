@@ -650,3 +650,87 @@ def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.round("sum_value", 2).alias("sum_value"), F.col("n_rows")
     )
+
+
+@register(
+    "asof_join_last_click",
+    """
+    SELECT p.event_id, p.user_id, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="Extension: AS-OF join — for each purchase, the user's latest "
+    "click at-or-before it. Spark lacks a native asof join; the "
+    "sort-merge-free realization is a carry-forward window (last "
+    "non-null over user partition ordered by time) — one shuffle on "
+    "the key, linear scan, no inequality join. Oracle: DuckDB's "
+    "native ASOF LEFT JOIN.",
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "last_click_ts"
+    )
+
+
+@register(
+    "range_join_nearby_events",
+    """
+    SELECT e.event_id, CAST(COUNT(o.event_id) AS BIGINT) AS n_nearby
+    FROM events e
+    LEFT JOIN events o
+      ON o.user_id = e.user_id
+     AND o.event_id != e.event_id
+     AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= 300000000
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    doc="Extension: range join — events of the same user within ±5 min "
+    "of each error event. The naive inequality join is O(n²)-ish and "
+    "unshuffleable; the Spark realization bins time into 5-minute "
+    "buckets and equi-joins each error to bins {b-1, b, b+1} before "
+    "the exact |Δt| filter — a co-partitionable join whose work is "
+    "bin-local (the standard interval-join trick; Flink/KDB do the "
+    "same). Oracle: the naive inequality join.",
+)
+def range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    win = 300_000_000  # ±5 minutes in µs
+    others = ev.select(
+        F.col("event_id").alias("o_id"),
+        F.col("user_id").alias("o_user"),
+        F.col("us").alias("o_us"),
+        F.expr(f"us div {win}").alias("o_bin"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "us", F.expr(f"us div {win}").alias("bin")
+    )
+    exploded = errors.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.explode(F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)).alias("jbin"),
+    )
+    joined = exploded.join(
+        others,
+        (exploded.user_id == others.o_user)
+        & (exploded.jbin == others.o_bin)
+        & (exploded.event_id != others.o_id)
+        & (F.abs(exploded.us - others.o_us) <= win),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("o_id").alias("n_nearby"))
