@@ -734,3 +734,36 @@ def range_join_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.groupBy("event_id").agg(F.count("o_id").alias("n_nearby"))
+
+
+@register(
+    "backfill_update_status",
+    """
+    WITH given AS (
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events WHERE event_id < 200
+    ), updated AS (
+      SELECT event_id FROM given WHERE k % 3 = 0
+    ), skipped AS (
+      SELECT event_id FROM given EXCEPT SELECT event_id FROM updated
+    )
+    SELECT event_id, false AS was_skipped FROM updated
+    UNION ALL
+    SELECT event_id, true AS was_skipped FROM skipped
+    """,
+    doc="J11/T1/T2 composite: the BackFiller status-report SQL — "
+    "updated = rows whose JSON field qualifies, skipped = given ids "
+    "EXCEPT updated, status = UNION ALL of both with a skip flag "
+    "(mirrors back_filling_queries/update_doi_from_details.sql "
+    "end-to-end: JSON extraction, EXCEPT, UNION ALL)",
+)
+def backfill_update_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    given = ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    updated = given.filter(F.col("k") % 3 == 0).select("event_id")
+    skipped = given.select("event_id").exceptAll(updated)
+    return updated.select("event_id", F.lit(False).alias("was_skipped")).unionByName(
+        skipped.select("event_id", F.lit(True).alias("was_skipped"))
+    )

@@ -179,3 +179,112 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter((F.col("q_id") < F.col("c_id")) & (F.col("cosine") >= 0.35))
         .select(F.col("q_id").alias("a_id"), F.col("c_id").alias("b_id"), "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: a deterministic coarse quantizer (8 fixed centroid
+# vectors), corpus assigned to its nearest list, queries probe the 2
+# nearest lists — search cost drops from |C| to the probed lists.
+# ---------------------------------------------------------------------------
+
+_CENTROID_IDS = (20, 60, 100, 140, 180, 220, 260, 300)
+_CENTROID_SQL = ", ".join(str(i) for i in _CENTROID_IDS)
+
+_IVF_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id
+), cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+            WHERE vec_id IN ({_CENTROID_SQL})),
+allv AS (SELECT vec_id, embedding AS ve FROM embeddings),
+cos_to_cent AS (
+  SELECT a.vec_id, c.cent_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.ve[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (na.nrm * nc.nrm), 6) AS cos
+  FROM allv a CROSS JOIN cent c
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nc ON nc.vec_id = c.cent_id
+), assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM cos_to_cent) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM cos_to_cent WHERE vec_id < 10) WHERE rn <= 2
+), cand AS (
+  SELECT p.q_id, a.vec_id AS c_id FROM probes p
+  JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id >= 10
+), scored AS (
+  SELECT k.q_id, k.c_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.ve[i] AS DOUBLE) * CAST(c.ve[i] AS DOUBLE)))
+               / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM cand k
+  JOIN allv q ON q.vec_id = k.q_id
+  JOIN allv c ON c.vec_id = k.c_id
+  JOIN norms nq ON nq.vec_id = k.q_id
+  JOIN norms nc ON nc.vec_id = k.c_id
+)
+SELECT q_id, c_id, cosine, rnk FROM (
+  SELECT q_id, c_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, c_id ASC) AS INT) AS rnk
+  FROM scored) WHERE rnk <= 3
+"""
+
+
+@register(
+    "ivf_ann_topk",
+    _IVF_ORACLE,
+    doc="Similarity search, IVF scale path: coarse-quantize the corpus "
+    "into 8 centroid lists (assignment = nearest centroid by cosine), "
+    "queries probe their 2 nearest lists, exact search only within "
+    "probed lists. At 100 TB: centroids are a broadcast table, "
+    "assignment is one map-side pass, and the probe join shuffles on "
+    "the list id — search cost scales with probed-list size, not |C|.",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs
+    from ..operators.topk import top_k_by
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    # nearest-centroid scores for every vector (centroids broadcast)
+    to_cent = cosine_pairs(
+        emb.select(F.col("vec_id").alias("q_id"), "embedding"),
+        centroids.select(F.col("cent_id").alias("c_id"), "embedding"),
+    ).select(F.col("q_id").alias("vec_id"), F.col("c_id").alias("cent_id"), F.col("cosine").alias("cos"))
+    assign = (
+        top_k_by(to_cent, ["vec_id"], [F.desc("cos"), F.asc("cent_id")], k=1, rank_col="__r")
+        .filter(F.col("vec_id") >= 10)
+        .select(F.col("vec_id").alias("c_id"), "cent_id")
+    )
+    probes = (
+        top_k_by(
+            to_cent.filter(F.col("vec_id") < 10),
+            ["vec_id"],
+            [F.desc("cos"), F.asc("cent_id")],
+            k=2,
+            rank_col="__r",
+        )
+        .select(F.col("vec_id").alias("q_id"), "cent_id")
+    )
+    cand = probes.join(assign, on="cent_id").select("q_id", "c_id")
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    from ..operators.similarity import cosine
+
+    scored = (
+        cand.join(F.broadcast(qv), on="q_id")
+        .join(cv, on="c_id")
+        .select("q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"))
+    )
+    return top_k_by(scored, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
+        "q_id", "c_id", "cosine", "rnk"
+    )
