@@ -208,3 +208,24 @@ def test_insert_urls_dedup_and_scheme_filter(spark):
     out = insert_urls(existing, incoming).collect()
     assert [r["url"] for r in out] == ["https://a/2"]
     assert out[0]["id"]  # deterministic id assigned
+
+
+def test_resolve_embedding_models_latest_per_lang(spark):
+    # J5/W1: latest model per (corpus, lang); falls back to older model
+    # when the newest has no matching language row
+    docs = spark.createDataFrame(
+        [("d1", "c1", "en"), ("d2", "c1", "fr"), ("d3", "c2", "en")],
+        ["id", "corpus_id", "lang"],
+    )
+    cx = spark.createDataFrame(
+        [("c1", "m1", "2024-01-01"), ("c1", "m2", "2024-06-01"), ("c2", "m1", "2024-01-01")],
+        ["corpus_id", "model_id", "used_since"],
+    )
+    models = spark.createDataFrame(
+        [("m1", "emb-v1", "en"), ("m1", "emb-v1", "fr"), ("m2", "emb-v2", "en")],
+        ["model_id", "model_name", "lang"],
+    )
+    from welearn_datastack_spark.pipeline.vectorizer import resolve_embedding_models
+
+    out = {r["id"]: r["model_name"] for r in resolve_embedding_models(docs, cx, models).collect()}
+    assert out == {"d1": "emb-v2", "d2": "emb-v1", "d3": "emb-v1"}

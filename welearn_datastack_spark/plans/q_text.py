@@ -321,3 +321,102 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("quality"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) DESC,
+                        tf.term ASC) AS INT) AS rnk
+      FROM tf JOIN df ON df.term = tf.term
+    ) WHERE rnk <= 5
+    """,
+    doc="Text-analysis: TF-IDF top-5 terms per document — term "
+    "frequencies, document frequencies (broadcast), log-idf weighting, "
+    "per-document ranking. The scalable keyword-scoring shape behind "
+    "M5-style extraction (tf and df both combine map-side).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import top_k_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar; at scale: computed once per job
+    toks = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), on="term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    return top_k_by(scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], k=5).select(
+        "doc_id", "term", "tfidf", "rnk"
+    )
+
+
+@register(
+    "sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+    doc="Event-time sessionization: 30-minute-gap session boundaries "
+    "via lag + running sum of start markers, then per-session "
+    "aggregates — the batch twin of the streaming session-window "
+    "(same clustering reused by both windows and the final groupBy: "
+    "one shuffle total)",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = 30 * 60 * 1_000_000  # 30 min in µs
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > gap), 1
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_seq",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
