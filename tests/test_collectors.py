@@ -129,3 +129,16 @@ def test_xml_attr_extraction(spark):
         [('<a href="x1"/><a id="7" href="x2"/>',)], ["xml"]
     ).select(C.extract_xml_attr(F.col("xml"), "a", "href").alias("hrefs"))
     assert df.collect()[0]["hrefs"] == ["x1", "x2"]
+
+
+def test_rss_multiline_feed(spark, tmp_path):
+    # real feeds put tags on separate lines — the tag regex must be DOTALL
+    p = tmp_path / "multi.rss"
+    p.write_text(
+        "<rss>\n<channel>\n"
+        "<item>\n  <title>One</title>\n  <link>https://m.org/1</link>\n</item>\n"
+        "<item>\n  <link>https://m.org/2</link>\n</item>\n"
+        "</channel>\n</rss>\n"
+    )
+    out = C.collect_rss_urls(spark, str(p), "rss")
+    assert sorted(r["url"] for r in out.collect()) == ["https://m.org/1", "https://m.org/2"]

@@ -118,3 +118,71 @@ def test_readability_and_duration_are_strings(spark):
     assert 0.0 <= float(rows[0]["r"]) <= 100.0
     assert rows[1]["r"] is None  # unsupported language → NULL (ref behavior)
     assert rows[1]["d"] == "0"  # 1 word / default 184 wpm * 60 → int() == 0
+
+
+def test_bfs_ignores_null_destinations(spark):
+    from welearn_datastack_spark.operators.graph import bfs_min_depth
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None), (1, None)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    rows = sorted((r["node"], r["depth"]) for r in bfs_min_depth(edges, seeds, 4).collect())
+    assert rows == [(1, 0), (2, 1)]  # no (null, d) rows, no duplicates
+
+
+def test_word_window_slices_empty_doc_emits_nothing(spark, sf_dir):
+    # Spark sequence(0,-1) yields [0,-1]; the builder must guard it
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    build = REGISTRY["word_window_slices"].build
+    docs = spark.createDataFrame([(1, "two words"), (2, "   "), (3, "")], ["doc_id", "text"])
+    docs.createOrReplaceTempView("documents")
+    # builder reads from parquet; exercise the same expression directly
+    from pyspark.sql import functions as F
+
+    toks = docs.select("doc_id", F.regexp_extract_all("text", F.lit(r"\S+"), 0).alias("t"))
+    n_slices = F.ceil(F.size("t") / 15.0).cast("int")
+    bodies = F.when(
+        n_slices > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_slices - 1),
+            lambda i: F.array_join(F.slice(F.col("t"), i * 15 + 1, 15), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = toks.select("doc_id", F.posexplode(bodies)).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_asof_tie_click_at_purchase_timestamp(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (5, 1, "click", t0),      # same ts as purchase, LARGER id
+            (2, 1, "purchase", t0),   # must still see the click (<= is inclusive)
+            (9, 2, "purchase", t0),   # user with no click → null
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    ev.write.mode("overwrite").parquet("/tmp/asof_tie_events")
+    # run the registered builder against a table dir shaped like testdata
+    import shutil, os
+
+    d = "/tmp/asof_tie_sf"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    # craft an events.parquet with µs timestamps like the real table
+    ev.selectExpr(
+        "event_id", "unix_micros(ts) * 1000 AS ts", "user_id", "event_type",
+        "cast(0.0 as double) AS value", "'{}' AS props"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    out = {r["event_id"]: r["last_click_ts"] for r in
+           REGISTRY["asof_join_last_click"].build(spark, d).collect()}
+    assert out[2] is not None and out[2] == t0  # tie included
+    assert out[9] is None

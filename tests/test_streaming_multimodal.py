@@ -93,3 +93,12 @@ def test_multimodal_attach_decode_sample(spark):
     frames = sample_frames(decoded.withColumn("n_frames", F.lit(10)), every_n=3)
     f1 = [r["frame_index"] for r in frames.filter("id='d1'").collect()]
     assert f1 == [0, 3, 6, 9]
+
+
+def test_sample_frames_zero_frames_yields_no_rows(spark):
+    # a real decoder returning n_frames=0 (still image / corrupt file)
+    # must produce zero frame rows, not kill the job (R6)
+    df = spark.createDataFrame([("a", 10), ("b", 0), ("c", -1)], ["id", "n_frames"])
+    rows = sample_frames(df, every_n=4).collect()
+    assert {r["id"] for r in rows} == {"a"}
+    assert [r["frame_index"] for r in rows] == [0, 4, 8]

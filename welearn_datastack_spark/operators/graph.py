@@ -36,6 +36,9 @@ def bfs_min_depth(
         expanded = (
             frontier.join(edges, frontier[node_col] == edges[src])
             .select(F.col(dst).alias(node_col))
+            # NULL destinations would be re-added every level (an
+            # anti-join never matches NULL keys) — drop them up front
+            .filter(F.col(node_col).isNotNull())
             .dropDuplicates([node_col])
         )
         fresh = expanded.join(visited.select(node_col), on=node_col, how="left_anti").select(

@@ -105,6 +105,14 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling as pure column logic: emit one row per sampled
     frame index (0, every_n, 2·every_n, …) — the UDTF-shaped fan-out
-    a video pipeline needs before per-frame feature extraction."""
-    idx = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
+    a video pipeline needs before per-frame feature extraction.
+
+    Zero/negative n_frames (still images, corrupt payloads from a real
+    decoder) yield NO rows instead of killing the job —
+    ``sequence(0, -1, n)`` is an illegal boundary in Spark, and R6
+    says bad rows are data, not exceptions."""
+    idx = F.when(
+        F.col(n_frames_col) > 0,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("frame_index", F.explode(idx))

@@ -111,39 +111,50 @@ def grouped_topk(
     return top_k_by(best_per_group, [q_id], [F.desc("cosine"), F.asc(group_col)], k=k_groups)
 
 
-def signed_projection_buckets(
-    df: DataFrame, id_col: str, vec_col: str, n_bits: int, dims: int, seed: int = 42
-) -> DataFrame:
-    """Random-hyperplane LSH bucket key per vector (sign of dot with
-    ``n_bits`` deterministic pseudo-random hyperplanes). The planes are
-    derived from md5 so the same buckets are computable in ANSI SQL.
+def derive_planes(seed: int, n_bits: int, dims: int) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes from md5 parity — the ONE
+    place the plane formula lives. Spark builders inline the result as
+    literal arrays; ANSI-SQL oracles inline the same literals, so both
+    engines share bit-identical buckets by construction."""
+    import hashlib
 
-    Scale path: join corpus and queries on ``bucket`` instead of a
-    broadcast cross product — both sides shuffle once on a uniform
-    key, bucket-local brute force follows.
-    """
-    # deterministic hyperplane component h(bit, dim) ∈ {-1, +1}
-    bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
-    vec = F.col(vec_col)
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{bit}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for j in range(dims)
+        ]
+        for bit in range(n_bits)
+    ]
 
-    def plane_sign(bit: Column) -> Column:
-        # component j of plane `bit`: ±1 from md5(seed:bit:j) parity
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dims - 1)),
-            lambda j: F.when(
-                F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), bit, j)), 1, 15), 16, 10)
-                .cast("long")
-                % 2
-                == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+
+def bucket_key_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bucket key: one character per plane, '1' when the
+    projection onto the plane is ≥ 0."""
+    signs = []
+    for p in planes:
+        const = F.array(*[F.lit(x) for x in p])
         proj = F.aggregate(
-            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.zip_with(vec_col, const, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+        signs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*signs)
 
-    key = F.array_join(F.transform(bits, plane_sign), "")
-    return df.select(F.col(id_col), F.col(vec_col), key.alias("bucket"))
+
+def signed_projection_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_bits: int, dims: int, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH bucket key per vector.
+
+    Scale path: join corpus and queries on ``bucket`` instead of a
+    broadcast cross product — both sides shuffle once on a uniform
+    key, bucket-local brute force follows (used by plans/q_extra.py
+    lsh_ann_topk, whose SQL oracle shares derive_planes' literals).
+    """
+    planes = derive_planes(seed, n_bits, dims)
+    return df.select(
+        F.col(id_col), F.col(vec_col), bucket_key_col(F.col(vec_col), planes).alias("bucket")
+    )

@@ -23,7 +23,10 @@ def insert_urls(
     needs (url, corpus); ids are deterministic (md5 of the url) so
     re-ingestion is idempotent — the Spark answer to the reference's
     unique-constraint-rollback dedup."""
-    https_only = incoming.filter(F.col(url_col).startswith("https"))  # P7
+    # P7 — faithfully the reference's *prefix* check (`startswith("https")`,
+    # csv_collector.py:36–37), which also admits e.g. "httpsx://"; a
+    # stricter deployment would use startswith("https://")
+    https_only = incoming.filter(F.col(url_col).startswith("https"))
     deduped = https_only.dropDuplicates([url_col])
     fresh = anti_join(deduped, existing_docs.select(url_col), on=url_col)
     return fresh.withColumn("id", F.md5(F.col(url_col)))

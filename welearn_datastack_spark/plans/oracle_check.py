@@ -85,7 +85,9 @@ def check_query(spark, spec, sf_dir: str, con: duckdb.DuckDBPyConnection | None 
     try:
         spark_pdf = spec.build(spark, sf_dir).toPandas()
         if spec.oracle is None:
-            return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+            # rows-only gate: the query must actually produce rows —
+            # an empty frame would otherwise hide a regressed filter
+            return [] if len(spark_pdf) > 0 else ["rows-only query returned 0 rows"]
         oracle_pdf = con.execute(spec.oracle).fetchdf()
         return compare_frames(spark_pdf, oracle_pdf)
     finally:

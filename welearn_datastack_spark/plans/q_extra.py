@@ -10,8 +10,6 @@ multimodal metadata.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -188,10 +186,16 @@ def word_window_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.regexp_extract_all("text", F.lit(r"\S+"), 0).alias("t")
     )
     n_slices = F.ceil(F.size("t") / 15.0).cast("int")
-    bodies = F.transform(
-        F.sequence(F.lit(0), n_slices - 1),
-        lambda i: F.array_join(F.slice(F.col("t"), i * 15 + 1, 15), " "),
-    )
+    # guard n_slices=0: Spark's sequence(0, -1) yields [0, -1] (step
+    # defaults to -1 when start > stop) — two phantom slices for an
+    # empty document, where DuckDB's generate_series(0,-1) is empty
+    bodies = F.when(
+        n_slices > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_slices - 1),
+            lambda i: F.array_join(F.slice(F.col("t"), i * 15 + 1, 15), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return tokenized.select(
         "doc_id", F.posexplode(bodies).alias("order_sequence", "body")
     )
@@ -252,22 +256,16 @@ def inverted_abstract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path for similarity search. The random
-# hyperplanes are fixed ±1 constants derived from md5 at registration
-# time, so Spark and the SQL oracle share them as literals.
+# hyperplanes come from operators/similarity.derive_planes (the single
+# source of the formula); Spark and the SQL oracle share them as
+# literals.
 # ---------------------------------------------------------------------------
+
+from ..operators.similarity import bucket_key_col, derive_planes  # noqa: E402
 
 _N_PLANES = 6
 _DIMS = 64
-
-
-def _plane(bit: int) -> list[float]:
-    return [
-        1.0 if int(hashlib.md5(f"42:{bit}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
-        for j in range(_DIMS)
-    ]
-
-
-_PLANES = [_plane(b) for b in range(_N_PLANES)]
+_PLANES = derive_planes(seed=42, n_bits=_N_PLANES, dims=_DIMS)
 
 
 def _bucket_sql() -> str:
@@ -283,16 +281,7 @@ def _bucket_sql() -> str:
 
 
 def _bucket_col() -> F.Column:
-    signs = []
-    for p in _PLANES:
-        const = F.array(*[F.lit(x) for x in p])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), const, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        signs.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*signs)
+    return bucket_key_col(F.col("embedding"), _PLANES)
 
 
 @register(
@@ -671,9 +660,12 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
+    # at equal timestamps clicks must sort BEFORE purchases so the
+    # carry-forward sees them — ASOF's c.ts <= p.ts is inclusive
+    kind = F.when(F.col("event_type") == "click", 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts"), kind, F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = ev.withColumn(

@@ -354,16 +354,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.topk import top_k_by
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # tiny scalar; at scale: computed once per job
+    # n_docs stays lazy (broadcast 1-row cross join) — an eager
+    # .count() here would trigger a full table scan every time the
+    # builder is called, before the query even runs
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), on="term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     return top_k_by(scored, ["doc_id"], [F.desc("tfidf"), F.asc("term")], k=5).select(
         "doc_id", "term", "tfidf", "rnk"

@@ -35,16 +35,30 @@ def ensure_self_on_executors(spark: SparkSession) -> None:
 
     import welearn_datastack_spark as pkg
 
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
     root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), f"welearn_datastack_spark_{pkg.__version__}.zip")
+    sources = []
+    for dirpath, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(dirpath, f))
+    sources.sort()
+    # key the zip on source CONTENT, not version — a stale cached zip
+    # would silently ship old code to executors after an edit
+    digest = hashlib.md5()
+    for path in sources:
+        digest.update(path.encode())
+        with open(path, "rb") as fh:
+            digest.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"welearn_datastack_spark_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
+            for full in sources:
+                z.write(full, os.path.relpath(full, root))
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED.add(key)
 
