@@ -186,3 +186,12 @@ def test_asof_tie_click_at_purchase_timestamp(spark):
            REGISTRY["asof_join_last_click"].build(spark, d).collect()}
     assert out[2] is not None and out[2] == t0  # tie included
     assert out[9] is None
+
+
+def test_connected_components_two_clusters(spark):
+    from welearn_datastack_spark.operators.graph import connected_components_min_label
+
+    # {1,2,3} via chain, {7,9} separate, 5 isolated (no edges → absent)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (9, 7)], ["src", "dst"])
+    out = {r["node"]: r["component"] for r in connected_components_min_label(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}

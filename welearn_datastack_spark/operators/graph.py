@@ -52,3 +52,59 @@ def bfs_min_depth(
         visited = visited.unionByName(fresh)
         frontier = fresh
     return visited
+
+
+def connected_components_min_label(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every node's label converges to the smallest node id in its
+    component — the canonical way to turn near-duplicate PAIRS into
+    duplicate CLUSTERS (keep min-id doc per cluster, drop the rest).
+
+    Each iteration is one aggregate over the (symmetrized) edge list
+    joined to current labels — shuffle on node id, O(diameter)
+    rounds; near-dup clusters are shallow (diameter ≤ ~3), so this
+    terminates in a handful of rounds. ``localCheckpoint`` truncates
+    lineage per round. Returns (node, component).
+    """
+    sym = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .dropDuplicates(["a", "b"])
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if stable:
+            break
+    return labels

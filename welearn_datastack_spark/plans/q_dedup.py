@@ -142,3 +142,55 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text", bits=16)
+
+
+@register(
+    "dedup_clusters",
+    # the recursive member needs RECURSIVE declared at the head of the
+    # whole CTE chain
+    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+    + f"""
+    , base AS (
+      SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
+    ), hashes AS (
+      SELECT doc_id, seed,
+             ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
+      FROM base, unnest(generate_series(0, 7)) AS s(seed)
+    ), sigs AS (
+      SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT a_id AS a, b_id AS b FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach(node, root) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node, CAST(MIN(root) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    doc="Dedup clustering: MinHash-LSH candidate pairs → connected "
+    "components by min-label propagation — the cluster resolution step "
+    "that turns near-dup PAIRS into keep/drop decisions (keep min-id "
+    "per component). Spark: iterative label propagation "
+    "(operators/graph.py); oracle: recursive-CTE reachability.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_min_label
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
+    bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+    pairs = lsh_candidates(bands, "doc_id").selectExpr("a_id AS src", "b_id AS dst")
+    return connected_components_min_label(pairs).select(
+        "node", F.col("component").cast("long").alias("component")
+    )

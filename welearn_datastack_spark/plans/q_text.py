@@ -427,3 +427,71 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# DuckDB twin of operators/dedup.py:hexint (md5 → int63)
+_HEXINT_T = (
+    "list_reduce([strpos('0123456789abcdef', c) - 1"
+    " for c in regexp_extract_all(substr(md5({x}), 1, 15), '.')],"
+    " (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             {_HEXINT_T.format(x="CAST(doc_id AS VARCHAR)")} % 100 AS h
+      FROM documents)
+    WHERE h < CASE lang WHEN 'en' THEN 10 WHEN 'fr' THEN 50
+                        WHEN 'es' THEN 50 WHEN 'de' THEN 50 ELSE 25 END
+    """,
+    doc="Training-data curation: deterministic hash-based stratified "
+    "sampling — per-language keep rates (downsample dominant 'en', "
+    "keep half of the rest) via md5-bucket membership, reproducible "
+    "across runs/engines unlike rand()-based sampleBy",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hexint
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hexint(F.col("doc_id").cast("string")) % 100
+    quota = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang").isin("fr", "es", "de"), 50)
+        .otherwise(25)
+    )
+    return docs.filter(h < quota).select("doc_id", "lang")
+
+
+@register(
+    "source_quota_mix",
+    f"""
+    SELECT doc_id, source, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_HEXINT_T.format(x="CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+      FROM documents)
+    WHERE rnk <= CASE WHEN source IN ('src0', 'src1', 'src2') THEN 20 ELSE 5 END
+    """,
+    doc="Training-data curation: per-source quota mixing — rank each "
+    "source's documents by deterministic hash (a reproducible shuffle) "
+    "and keep a per-source quota, the dataset-mixing primitive for "
+    "weighted source blends",
+)
+def source_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hexint
+    from ..operators.topk import top_k_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = top_k_by(
+        docs.select("doc_id", "source", hexint(F.col("doc_id").cast("string")).alias("__h")),
+        ["source"],
+        [F.asc("__h"), F.asc("doc_id")],
+        k=1000000,
+        rank_col="rnk",
+    ).drop("__h")
+    quota = F.when(F.col("source").isin("src0", "src1", "src2"), 20).otherwise(5)
+    return ranked.filter(F.col("rnk") <= quota).select("doc_id", "source", "rnk")
