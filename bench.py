@@ -27,14 +27,21 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue",
     "latest_event",
+    "generate_vectorize_batch",
     "top2_event_types",
     "group_counts",
     "model_resolution",
     "byte_budget_admission",
+    "sessionization",
+    "asof_join_last_click",
+    "range_join_nearby_events",
+    "salted_aggregation",
     "cosine_topk",
     "grouped_vector_search",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "word_window_slices",
+    "tfidf_top_terms",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
