@@ -152,16 +152,21 @@ def broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT e.event_id, d.doc_id, d.source
     FROM (SELECT event_id,
-                 CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+                 CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INT) AS k
           FROM events) e
     JOIN documents d ON d.doc_id = e.k
     """,
     doc="J10: API-result re-association — join on a regexp-extracted "
-    "key (ref hal.py:243-252 halId extraction, ted.py:56-57)",
+    "key (ref hal.py:243-252 halId extraction, ted.py:56-57). "
+    "NULLIF before the cast: a record with no extractable key must "
+    "drop out of the join, not crash the ANSI cast.",
 )
 def api_reassociation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("int").alias("k")
+        "event_id",
+        F.nullif(F.regexp_extract("props", r'"k": ([0-9]+)', 1), F.lit(""))
+        .cast("int")
+        .alias("k"),
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return ev.join(docs, ev.k == docs.doc_id).select("event_id", "doc_id", "source")
@@ -232,7 +237,8 @@ def overwrite_by_key_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "inverted_abstract_roundtrip",
     """
-    SELECT doc_id, array_to_string(regexp_extract_all(text, '\\w+'), ' ') AS reconstructed
+    SELECT doc_id,
+           COALESCE(array_to_string(regexp_extract_all(text, '\\w+'), ' '), '') AS reconstructed
     FROM documents
     """,
     doc="F18: OpenAlex inverted-abstract reconstruction — build the "
@@ -251,7 +257,12 @@ def inverted_abstract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     maps = inverted.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("w", "positions"))).alias("m")
     )
-    return maps.select("doc_id", inverted_abstract_to_text(F.col("m")).alias("reconstructed"))
+    # token-less documents vanish at the posexplode — rejoin so they
+    # reconstruct to '' like the oracle's array_to_string of an empty list
+    return docs.select("doc_id").join(maps, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(inverted_abstract_to_text(F.col("m")), F.lit("")).alias("reconstructed"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -523,6 +534,7 @@ def pdf_cleanup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id AS src,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
       FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
     ), r(node, d) AS (
       SELECT DISTINCT src AS node, 0 AS d FROM edges WHERE src < 3
       UNION
