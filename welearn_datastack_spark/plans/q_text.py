@@ -495,3 +495,124 @@ def source_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__h")
     quota = F.when(F.col("source").isin("src0", "src1", "src2"), 20).otherwise(5)
     return ranked.filter(F.col("rnk") <= quota).select("doc_id", "source", "rnk")
+
+
+@register(
+    "repetition_ratio",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ), tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    ), cnt AS (
+      SELECT doc_id, sh, COUNT(*) AS c FROM tri GROUP BY doc_id, sh
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_trigrams,
+           MAX(c) / CAST(SUM(c) AS DOUBLE) AS max_trigram_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    doc="Quality filter: repeated-trigram ratio (Gopher-style repetition "
+    "rule) — max trigram frequency over total trigrams; boilerplate and "
+    "degenerate generations score high. Raw double division, no "
+    "rounding needed: both engines divide identical integers.",
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0).alias("t")
+    ).filter(F.size("t") >= 3)
+    tri = tokenized.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2), F.element_at("t", i + 3)
+                ),
+            )
+        ).alias("sh"),
+    )
+    cnt = tri.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        (F.max("c") / F.sum("c").cast("double")).alias("max_trigram_ratio"),
+    )
+
+
+@register(
+    "pii_pattern_flags",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '[a-z0-9._]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '[0-9]{3}[- ][0-9]{4}')) AS INT) AS n_phones,
+           len(regexp_extract_all(t2, '[a-z0-9._]+@[a-z0-9.-]+')) > 0
+             OR len(regexp_extract_all(t2, '[0-9]{3}[- ][0-9]{4}')) > 0 AS has_pii
+    FROM (
+      SELECT doc_id,
+             text || CASE doc_id % 7 WHEN 0 THEN ' contact: a.b@example.com'
+                                     WHEN 1 THEN ' call 555-1234' ELSE '' END AS t2
+      FROM documents)
+    """,
+    doc="Quality/safety filter: PII pattern detection (email / phone "
+    "regex counts + flag) — the scrub-or-drop signal a training-data "
+    "pipeline computes before export (test rows synthesized "
+    "deterministically since the corpus has no real PII)",
+)
+def pii_pattern_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, " contact: a.b@example.com")
+        .when(F.col("doc_id") % 7 == 1, " call 555-1234")
+        .otherwise(""),
+    )
+    emails = F.size(F.regexp_extract_all(t2, F.lit(r"[a-z0-9._]+@[a-z0-9.-]+"), 0))
+    phones = F.size(F.regexp_extract_all(t2, F.lit(r"[0-9]{3}[- ][0-9]{4}"), 0))
+    return docs.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        ((emails > 0) | (phones > 0)).alias("has_pii"),
+    )
+
+
+@register(
+    "length_percentiles",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99
+    FROM ranked GROUP BY lang
+    """,
+    doc="Corpus statistics: exact per-language length percentiles via "
+    "rank-pick (percentile_disc semantics — engine-independent, unlike "
+    "interpolating quantile functions). At 100 TB swap for "
+    "approx_percentile with a documented error bound.",
+)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    pick = lambda p: F.max(
+        F.when(F.col("rn") == F.ceil(p * F.col("n")).cast("bigint"), F.col("n_chars"))
+    )
+    return ranked.groupBy("lang").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
+    )
