@@ -341,3 +341,86 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Extension (reference has no grouping sets — SURVEY §2.4): "
+    "ROLLUP subtotals over the region→nation hierarchy; Spark's "
+    "rollup() and SQL ROLLUP agree on NULL-filled subtotal rows",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, nation.n_nationkey == cust.c_nationkey)
+        .join(region, region.r_regionkey == nation.n_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+    doc="Extension: pivot — per-user event-type counts as columns. "
+    "Spark's pivot() with EXPLICIT values (never let pivot scan for "
+    "distinct values at 100 TB); oracle is portable conditional "
+    "aggregation",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "rolling_avg_value",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 5e-10, 4) AS rolling_avg
+    FROM events
+    """,
+    doc="Extension: bounded-frame rolling aggregate — 4-row trailing "
+    "average per user in event-time order (the smoothing shape for "
+    "metric streams); shared epsilon before rounding, see "
+    "plans/registry.py float discipline",
+)
+def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w) + F.lit(5e-10), 4).alias("rolling_avg"),
+    )
