@@ -229,3 +229,15 @@ def test_resolve_embedding_models_latest_per_lang(spark):
 
     out = {r["id"]: r["model_name"] for r in resolve_embedding_models(docs, cx, models).collect()}
     assert out == {"d1": "emb-v2", "d2": "emb-v1", "d3": "emb-v1"}
+
+
+def test_pack_slices_split_oversized_preserves_all_words():
+    text = " ".join(f"w{i}" for i in range(53))  # punctuation-less document
+    truncated = pack_slices(text, slice_length=20)
+    preserved = pack_slices(text, slice_length=20, split_oversized=True)
+    assert len(truncated) == 1 and truncated[0].endswith("…")  # reference behavior
+    # data-preserving mode: every word survives, in order, within budget
+    rejoined = " ".join(preserved)
+    assert rejoined == text
+    assert len(preserved) == 3
+    assert all(len(s.split()) <= 20 for s in preserved)

@@ -144,11 +144,16 @@ def split_sentences(text: str) -> list[str]:
     return parts or [text.strip()]
 
 
-def pack_slices(text: str, slice_length: int) -> list[str]:
-    """Pack sentences into slices of ≤ ``slice_length`` words; a
-    single sentence longer than the budget is truncated with "…"
-    (reference create_content_slices semantics,
-    embedding_model_helpers.py:166–225)."""
+def pack_slices(text: str, slice_length: int, split_oversized: bool = False) -> list[str]:
+    """Pack sentences into slices of ≤ ``slice_length`` words.
+
+    A single sentence longer than the budget is, by default, truncated
+    with "…" — the reference's behavior (create_content_slices,
+    embedding_model_helpers.py:166–225). That silently DROPS most of a
+    punctuation-less document (the whole text is one "sentence"), so
+    ``split_oversized=True`` instead chunks the oversized sentence
+    into slice_length-word windows — the data-preserving mode the
+    pipeline uses (documented deviation)."""
     slices: list[str] = []
     cur: list[str] = []
     cur_words = 0
@@ -158,7 +163,11 @@ def pack_slices(text: str, slice_length: int) -> list[str]:
             if cur:
                 slices.append(" ".join(cur))
                 cur, cur_words = [], 0
-            slices.append(" ".join(words[:slice_length]) + "…")
+            if split_oversized:
+                for i in range(0, len(words), slice_length):
+                    slices.append(" ".join(words[i : i + slice_length]))
+            else:
+                slices.append(" ".join(words[:slice_length]) + "…")
             continue
         if cur_words + len(words) > slice_length and cur:
             slices.append(" ".join(cur))
@@ -171,12 +180,18 @@ def pack_slices(text: str, slice_length: int) -> list[str]:
 
 
 def slice_documents(
-    docs: DataFrame, id_col: str, text_col: str, slice_length: int = 20
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    slice_length: int = 20,
+    split_oversized: bool = True,
 ) -> DataFrame:
     """F24 as a DataFrame op: documents → (id, order_sequence, body).
     The array-returning pandas UDF + posexplode replaces the
     reference's per-doc Python loop; ``order_sequence`` mirrors the
-    enumerate at embedding_model_helpers.py:111–121."""
+    enumerate at embedding_model_helpers.py:111–121. Oversized
+    sentences are window-chunked by default (see pack_slices) so
+    punctuation-less documents keep their full content."""
 
     from ..session import ensure_self_on_executors
 
@@ -184,7 +199,7 @@ def slice_documents(
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _slices(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: pack_slices(x, slice_length) if x else [])
+        return s.map(lambda x: pack_slices(x, slice_length, split_oversized) if x else [])
 
     return docs.select(
         F.col(id_col), F.posexplode(_slices(F.col(text_col))).alias("order_sequence", "body")

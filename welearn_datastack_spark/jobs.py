@@ -1,0 +1,115 @@
+"""CLI entry points — run the engine as an application.
+
+``python -m welearn_datastack_spark.jobs enrich --sf-dir D --out O``
+runs the full enrichment pipeline (slice → embed → classify →
+keywords → vector points) over the ``documents`` table and writes
+each stage's output as parquet under O — the batch twin of the
+reference's Argo-scheduled node chain, collapsed into one Spark
+application (cron/Argo/Airflow schedules THIS instead of 10 pods).
+
+``... query --name Q --sf-dir D [--out O]`` runs any registered
+query; without --out it prints 20 rows (exploration), with --out it
+writes parquet (production).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _enrich(args: argparse.Namespace) -> None:
+    from .pipeline.classifier import classify_slices, document_verdicts
+    from .pipeline.keywords import extract_and_link
+    from .pipeline.qdrant_sync import build_points, doc_top2_sdgs
+    from .pipeline.vectorizer import vectorize
+    from .session import get_spark
+    from .sources.tables import load_table
+
+    spark = get_spark("welearn-enrich")
+    docs = load_table(spark, args.sf_dir, "documents")
+    doc_in = docs.select(
+        F.col("doc_id").cast("string").alias("id"), F.col("text").alias("full_content")
+    )
+    slices = vectorize(doc_in, slice_length=args.slice_length)
+    slices.write.mode("overwrite").parquet(f"{args.out}/slices")
+
+    classified = classify_slices(
+        slices.select("document_id", F.col("order_sequence").alias("slice_seq"), "embedding")
+    )
+    classified.drop("embedding").write.mode("overwrite").parquet(f"{args.out}/classified")
+    document_verdicts(classified).write.mode("overwrite").parquet(f"{args.out}/verdicts")
+
+    spark_docs = docs.select(
+        F.col("doc_id").cast("string").alias("document_id"), F.col("text").alias("description")
+    )
+    dim0 = spark.createDataFrame([], "keyword string, id string")
+    links0 = spark.createDataFrame([], "document_id string, keyword_id string")
+    dim, links = extract_and_link(spark_docs, dim0, links0)
+    dim.write.mode("overwrite").parquet(f"{args.out}/keywords")
+    links.write.mode("overwrite").parquet(f"{args.out}/keyword_links")
+
+    meta = docs.select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("url"),
+        "lang",
+        F.col("source").alias("corpus"),
+        F.lit("stub-64").alias("model_name"),
+    )
+    top2 = doc_top2_sdgs(classified.select("document_id", "sdg"))
+    points = build_points(
+        slices.join(
+            classified.select(
+                "document_id", F.col("slice_seq").alias("order_sequence"), "sdg"
+            ),
+            on=["document_id", "order_sequence"],
+        ),
+        meta,
+        top2,
+    )
+    points.write.mode("overwrite").parquet(f"{args.out}/points")
+    n = spark.read.parquet(f"{args.out}/points").count()
+    print(f"enrich complete: {n} points written to {args.out}")
+
+
+def _query(args: argparse.Namespace) -> None:
+    from .plans.registry import REGISTRY, _load_groups
+    from .session import get_spark
+
+    _load_groups()
+    if args.name not in REGISTRY:
+        sys.exit(f"unknown query {args.name!r}; known: {', '.join(sorted(REGISTRY))}")
+    spark = get_spark(f"welearn-query-{args.name}")
+    df = REGISTRY[args.name].build(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+    else:
+        df.show(20, truncate=80)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="welearn_datastack_spark.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("enrich", help="full enrichment pipeline over the documents table")
+    e.add_argument("--sf-dir", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--slice-length", type=int, default=20)
+    e.set_defaults(fn=_enrich)
+
+    q = sub.add_parser("query", help="run one registered query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--out")
+    q.set_defaults(fn=_query)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
