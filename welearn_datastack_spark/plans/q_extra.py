@@ -771,3 +771,75 @@ def backfill_update_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return updated.select("event_id", F.lit(False).alias("was_skipped")).unionByName(
         skipped.select("event_id", F.lit(True).alias("was_skipped"))
     )
+
+
+@register(
+    "closed_window_counts",
+    """
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT day_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT date_trunc('day', ts)::TIMESTAMP AS day_start,
+                 date_trunc('day', ts)::TIMESTAMP + INTERVAL 1 DAY AS day_end,
+                 event_type
+          FROM events), mx
+    WHERE day_end <= mx.max_ts
+    GROUP BY day_start, event_type
+    """,
+    doc="R1/late-data as batch-checkable semantics: tumbling 1-day counts "
+    "for CLOSED windows only (window end ≤ watermark = max event time) — "
+    "exactly what the streaming job with a 0-second watermark emits in "
+    "append mode (streaming/state_machine.stream_windowed_counts), so "
+    "the windowed-stream contract is oracle-checked, not just tested",
+)
+def closed_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    windowed = ev.select(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).select(
+        F.col("w.start").alias("day_start"), F.col("w.end").alias("day_end"), "event_type"
+    )
+    return (
+        windowed.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("day_end") <= F.col("max_ts"))
+        .groupBy("day_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "corpus_health_report",
+    """
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\\w+')) AS DOUBLE) AS words,
+             CASE WHEN doc_id != MIN(doc_id) OVER (
+                    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  ) THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(words) + 5e-10, 4) AS avg_words,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           CAST(SUM(CASE WHEN words < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short
+    FROM m GROUP BY source
+    """,
+    doc="Corpus curation composite: per-source health report — document "
+    "counts, mean length, exact-duplicate counts, too-short counts — "
+    "the go/no-go dashboard a training-data pipeline runs before "
+    "export (composes dedup flags + length stats in one pass)",
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dup_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).cast("double")
+    flags = exact_dup_flags(docs, "doc_id", "text")
+    enriched = docs.select("doc_id", "source", words.alias("words")).join(flags, on="doc_id")
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("words") + F.lit(5e-10), 4).alias("avg_words"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        F.sum((F.col("words") < 15).cast("long")).alias("n_too_short"),
+    )
