@@ -1,0 +1,112 @@
+"""Scale-claim proofs: bucketed tables make recurring joins
+shuffle-free (SCALE.md §2), and the ANN probe count is a working
+recall dial (SCALE.md §6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from welearn_datastack_spark.sources.tables import load_table
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """The pipeline joins slices↔documents on document_id constantly;
+    bucketing both sides by the key removes the shuffle from EVERY
+    subsequent join — the 100 TB co-location strategy."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # an in-memory catalog forgets tables between sessions but the
+    # warehouse directories persist — clear them or CREATE fails
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "b_orders"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "b_lineitem"
+    )
+    # tiny test tables would auto-broadcast, hiding the bucketed path —
+    # disable the threshold so the plan shows what 100 TB tables would do
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # co-located buckets: no exchange on either side of the join
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+        # and the join is still correct
+        n = joined.count()
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.parametrize("k", [3])
+def test_ann_probe_count_is_a_recall_dial(spark, sf_dir, k):
+    """IVF nprobe sweep: recall@k vs exact brute force must not
+    decrease as more lists are probed, reaching 1.0 when probing all."""
+    from welearn_datastack_spark.operators.similarity import brute_force_topk, cosine_pairs
+    from welearn_datastack_spark.operators.topk import top_k_by
+    from welearn_datastack_spark.plans.q_ml import _CENTROID_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    to_cent = cosine_pairs(
+        emb.select(F.col("vec_id").alias("q_id"), "embedding"),
+        centroids.select(F.col("cent_id").alias("c_id"), "embedding"),
+    ).select(F.col("q_id").alias("vec_id"), F.col("c_id").alias("cent_id"), F.col("cosine").alias("cos"))
+    assign = (
+        top_k_by(to_cent, ["vec_id"], [F.desc("cos"), F.asc("cent_id")], k=1, rank_col="r")
+        .filter(F.col("vec_id") >= 10)
+        .select(F.col("vec_id").alias("c_id"), "cent_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("q_id" if False else "vec_id").alias("q_id"), "embedding")
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk(
+            queries, emb.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("c_id"), "embedding"), k=k
+        ).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        probes = (
+            top_k_by(
+                to_cent.filter(F.col("vec_id") < 10),
+                ["vec_id"],
+                [F.desc("cos"), F.asc("cent_id")],
+                k=nprobe,
+                rank_col="r",
+            )
+            .select(F.col("vec_id").alias("q_id"), "cent_id")
+        )
+        cand = probes.join(assign, on="cent_id").select("q_id", "c_id")
+        qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+        cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+        from welearn_datastack_spark.operators.similarity import cosine
+
+        scored = (
+            cand.join(F.broadcast(qv), on="q_id")
+            .join(cv, on="c_id")
+            .select("q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"))
+        )
+        got = {
+            (r["q_id"], r["c_id"])
+            for r in top_k_by(scored, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=k).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4, r_all = recall(1), recall(4), recall(len(_CENTROID_IDS))
+    assert r1 <= r4 <= r_all, (r1, r4, r_all)
+    assert r_all == 1.0  # probing every list IS brute force

@@ -32,6 +32,8 @@ def _doc_text(i: int) -> str:
         return "   "  # whitespace-only
     if i % 37 == 2:
         return "solo"
+    if i % 37 == 3:
+        return "line one\nline two\tand tabs\n\nblank lines"
     if i % 11 == 0:
         return "dup dup shared text body exact copy"  # exact duplicates
     n = int(rng.integers(3, 40))

@@ -241,3 +241,27 @@ def test_pack_slices_split_oversized_preserves_all_words():
     assert rejoined == text
     assert len(preserved) == 3
     assert all(len(s.split()) <= 20 for s in preserved)
+
+
+def test_slice_udtf_matches_pack_slices(spark):
+    from pyspark.sql.functions import col, lit
+
+    from welearn_datastack_spark.functions.udfs import SliceUDTF, pack_slices
+    from welearn_datastack_spark.session import ensure_self_on_executors
+
+    ensure_self_on_executors(spark)
+    spark.udtf.register("slice_udtf", SliceUDTF)
+    docs = spark.createDataFrame(
+        [("d1", "one two three. four five six seven."), ("d2", " ".join(["w"] * 45))],
+        ["id", "text"],
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT id, s.order_sequence, s.body FROM udtf_docs, "
+        "LATERAL slice_udtf(text, 20) s"
+    ).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["id"], r["order_sequence"])):
+        by_doc.setdefault(r["id"], []).append(r["body"])
+    assert by_doc["d1"] == pack_slices("one two three. four five six seven.", 20, True)
+    assert by_doc["d2"] == pack_slices(" ".join(["w"] * 45), 20, True)

@@ -393,3 +393,26 @@ def extract_keywords(
         return s.map(model)
 
     return docs.select(F.col(id_col), F.explode(_kw(F.col(text_col))).alias("keyword"))
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF variant of the slicer (Spark 4 @udtf API) — the
+# table-function form of F24: one input row → N slice rows, usable
+# directly in SELECT / LATERAL position without posexplode plumbing.
+# ---------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="order_sequence int, body string")
+    class SliceUDTF:
+        """``SELECT id, s.* FROM docs, LATERAL slice_udtf(text, 20) s``
+        — same packing semantics as slice_documents (split_oversized
+        mode), expressed as a native table function."""
+
+        def eval(self, text: str, slice_length: int):  # noqa: D102
+            for i, body in enumerate(pack_slices(text or "", slice_length, True)):
+                yield i, body
+
+except ImportError:  # pragma: no cover - pyspark < 3.5 fallback
+    SliceUDTF = None

@@ -81,6 +81,11 @@ def get_spark(app_name: str = "welearn-spark", shuffle_partitions: int | None = 
         .config("spark.sql.session.timeZone", "UTC")
         # driver==executor JVM in local mode; generous but bounded
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed tables (bucketed-join tests) land in tmp, not the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/welearn_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
