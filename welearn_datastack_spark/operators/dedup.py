@@ -210,3 +210,22 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Data
     return per_bit.select(F.col(id_col), bitval.alias("bv")).groupBy(id_col).agg(
         F.sum("bv").cast("long").alias("simhash")
     )
+
+
+def incremental_lsh_candidates(
+    stored_bands: DataFrame, new_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """Incremental dedup: candidate pairs between a NEW batch and the
+    EXISTING corpus — the production shape where the corpus band table
+    is persisted (bucketed by band_key) and each ingest batch probes
+    it, instead of re-pairing the whole corpus. Output
+    (new_id, existing_id); pairs within the new batch itself come from
+    ``lsh_candidates(new_bands)`` separately."""
+    new = new_bands.select(F.col(id_col).alias("new_id"), "band", "band_key")
+    old = stored_bands.select(F.col(id_col).alias("existing_id"), "band", "band_key")
+    return (
+        new.join(old, on=["band", "band_key"])
+        .filter(F.col("new_id") != F.col("existing_id"))
+        .select("new_id", "existing_id")
+        .dropDuplicates(["new_id", "existing_id"])
+    )
