@@ -97,6 +97,21 @@ def _curate(args: argparse.Namespace) -> None:
     print(f"curate complete: {n_in} -> {n_out} documents ({args.out})")
 
 
+def _compact(args: argparse.Namespace) -> None:
+    """Maintenance job: bin-pack a fragmented parquet directory (the
+    OPTIMIZE verb for the append-only state log)."""
+    from .operators.compaction import compact
+    from .session import get_spark
+
+    spark = get_spark("welearn-compact")
+    sort_by = [F.col(c) for c in args.sort_by.split(",")] if args.sort_by else None
+    stats = compact(spark, args.path, args.target_mb * 1024 * 1024, sort_by)
+    print(
+        f"compacted {stats['n_files']} files ({stats['total_bytes']} bytes, "
+        f"{stats['small_files']} under half-target) -> {stats['target_files']} files"
+    )
+
+
 def _query(args: argparse.Namespace) -> None:
     from .plans.registry import REGISTRY, _load_groups
     from .session import get_spark
@@ -129,6 +144,12 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--min-words", type=int, default=10)
     c.add_argument("--keep-pct", type=int, default=100)
     c.set_defaults(fn=_curate)
+
+    k = sub.add_parser("compact", help="bin-pack a fragmented parquet directory in place")
+    k.add_argument("--path", required=True)
+    k.add_argument("--target-mb", type=int, default=128)
+    k.add_argument("--sort-by", help="comma-separated columns for within-file clustering")
+    k.set_defaults(fn=_compact)
 
     q = sub.add_parser("query", help="run one registered query")
     q.add_argument("--name", required=True)
