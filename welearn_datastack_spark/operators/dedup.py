@@ -48,13 +48,20 @@ def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> Da
     """Distinct word n-gram shingles per document: (id_col, shingle).
     Documents with fewer than n words produce no shingles.
 
-    The input is repartitioned first: a small parquet file arrives as
-    ONE scan partition, which would serialize the regex/shingle/hash
-    map work onto a single core — the cheap up-front shuffle buys full
-    parallelism for the expensive part. (At 100 TB the scan already
-    has thousands of partitions and Spark's repartition is a no-op
-    cost-wise relative to the map work.)"""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    The input is HASH-repartitioned on the document id first, for two
+    reasons: (a) a small parquet file arrives as ONE scan partition,
+    which would serialize the regex/shingle/hash map work onto a
+    single core; (b) every downstream consumer (minhash signatures,
+    band keys, per-doc sizes) groups by the document id — with the
+    shingle rows already clustered on id, Catalyst's EnsureRequirements
+    elides those exchanges entirely (HashPartitioning(id) satisfies
+    ClusteredDistribution(id, …)), so the only remaining shuffle in
+    the LSH pipeline is the band-bucket one. (At 100 TB the scan
+    already has thousands of partitions and this repartition is noise
+    next to the map work it parallelizes and the shuffles it removes.)
+    """
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
     # materialize the token array as a projected column BEFORE the
     # shingle lambda: referencing the regexp expression directly inside
     # element_at would inline (and re-evaluate) the regex once per
@@ -64,39 +71,78 @@ def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> Da
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0).alias("__toks"),
     )
     toks = F.col("__toks")
+    # the transform must be TOTAL even though short docs are filtered
+    # out below: InferFiltersFromGenerate copies `size(<this expr>)>0`
+    # into a filter that may be evaluated before the length filter, and
+    # for size<n the un-guarded sequence(0, size-n) runs DESCENDING
+    # (auto step -1), driving element_at past the array under ANSI
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        )
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
-    return (
-        tokenized.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    # explode the EXPRESSION, never an aliased attribute: with an
+    # attribute child, InferFiltersFromGenerate infers `size(col)>0`
+    # and predicate pushdown inlines the whole transform into an
+    # interpreted Filter — the shingle work then runs twice per row
+    # (measured 5× slower end-to-end); with an expression child the
+    # rule skips (non-cheap), and the transform runs exactly once
+    return tokenized.filter(F.size(toks) >= n).select(
+        F.col(id_col), F.explode(shingles).alias("shingle")
     )
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str, threshold: float, round_digits: int = 6
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_digits: int = 6,
+    size_col: str | None = None,
 ) -> DataFrame:
     """All document pairs sharing ≥1 shingle, with Jaccard similarity
     ≥ threshold. Output (a_id, b_id, jaccard), a_id < b_id.
 
-    The shingle equi-join is the scalable shape: pairs are generated
-    per shingle bucket (shuffle on shingle), never by cross product.
-    """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.select(F.col(id_col).alias("a_id"), "shingle")
-    b = shingles.select(F.col(id_col).alias("b_id"), "shingle")
-    common = (
-        a.join(b, on="shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+    Pairs are generated per shingle bucket — shuffle on shingle, never
+    a cross product — by collecting each bucket's (id, size) members
+    and exploding the i<j combinations with array algebra. Compared to
+    the textbook 3-way self-join (a ⋈ b on shingle, then two joins
+    back to per-doc sizes) this evaluates the shingle pipeline ONCE
+    instead of three times and replaces the two size joins with a
+    carried column; pass ``size_col`` if the size is already present,
+    else it's recovered with one per-doc window (exchange-free when
+    the shingles are clustered on the id, as word_shingles leaves
+    them). Bucket width is bounded by document-frequency in practice;
+    a pathological boilerplate shingle shows up as a hot bucket and is
+    handled the same way as an LSH mega-bucket (AQE skew split /
+    stop-shingle filter upstream)."""
+    if size_col is None:
+        shingles = shingles.withColumn(
+            "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        size_col = "__sz"
+    member = F.struct(F.col(id_col).alias("m_id"), F.col(size_col).alias("m_sz"))
+    buckets = (
+        shingles.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(member)).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ms) - 2),"
+                " i -> transform(sequence(i + 1, size(ms) - 1),"
+                " j -> struct(ms[i].m_id AS a_id, ms[j].m_id AS b_id,"
+                "             ms[i].m_sz AS sa, ms[j].m_sz AS sb))))"
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id", "p.sa", "p.sb")
     return (
-        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("sz").alias("sa")), on="a_id")
-        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("sz").alias("sb")), on="b_id")
+        pairs.groupBy("a_id", "b_id", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("common"))
         .select(
             "a_id",
             "b_id",

@@ -362,7 +362,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency DERIVED FROM tf (count of (doc,term) rows per
+    # term ≡ COUNT(DISTINCT doc_id) over toks): both consumers now
+    # share tf's exchange, so the scan+regex+explode runs once and the
+    # df branch is a ReusedExchange instead of a second full pass
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df), on="term")
         .crossJoin(F.broadcast(n_docs))
