@@ -25,7 +25,12 @@ from welearn_datastack_spark.session import get_spark
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_region_revenue",
+    "tpch_q13_cust_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_count",
+    "tpch_q18_large_orders",
     "latest_event",
     "generate_vectorize_batch",
     "top2_event_types",

@@ -424,3 +424,181 @@ def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w) + F.lit(5e-10), 4).alias("rolling_avg"),
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated-EXISTS as a LEFT SEMI join with a "
+    "non-equi residual (ship >60d after order), then priority counts. "
+    "The semi join shuffles both sides on the order key once; no "
+    "dedup pass is needed because semi-join emits each order at most "
+    "once regardless of matching lineitem multiplicity.",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q13_cust_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join with a join-side predicate (the "
+    "filter must ride the join condition, not a WHERE, to keep "
+    "zero-order customers), per-customer count, then the distribution "
+    "of counts. Second agg is tiny (|distinct counts| keys) — the "
+    "only real shuffle is the first, on the customer key.",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    joined = cust.join(
+        orders,
+        (orders.o_custkey == cust.c_custkey) & (orders.o_orderstatus != "F"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q14_promo_share",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)) + 5e-10, 4
+           ) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-09-01'
+      AND l.l_shipdate < TIMESTAMP '1999-10-01'
+    GROUP BY ALL
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation over a broadcast "
+    "dimension join — part is broadcast, so the date-filtered fact "
+    "scan never shuffles; the CASE folds the promo split into the "
+    "same single aggregation pass (one job, zero wide stages).",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev)
+                + F.lit(5e-10),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_count",
+    """
+    SELECT p.p_brand, p.p_size, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (1, 4, 7, 10, 13)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16 shape: broadcast dimension filter + broadcast ANTI "
+    "join (exclude deficit suppliers) + COUNT DISTINCT per group. "
+    "Both the part filter and the supplier exclusion reach the fact "
+    "scan as broadcast joins — the only shuffle is the distinct-agg.",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#2") & F.col("p_size").isin(1, 4, 7, 10, 13))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape: HAVING-driven key selection (orders whose "
+    "total quantity clears a threshold) applied back to the 3-way "
+    "join as a LEFT SEMI on the fact key, then re-aggregation. The "
+    "qualifying-key set is tiny → broadcast semi join; customer and "
+    "orders dims broadcast too, so lineitem shuffles once (final agg).",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 300)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")), F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
