@@ -53,6 +53,8 @@ HEADLINE = [
     "exact_dup_flags",
     "readability",
     "quality_score",
+    "token_budget_packing",
+    "contamination_flags",
 ]
 
 

@@ -1,0 +1,160 @@
+"""Curation query group — the batch-assembly and hygiene operators a
+training-data pipeline runs after dedup/quality filtering: token-budget
+sequence packing, benchmark-contamination screening, and the stage
+funnel report. No reference equivalent (its batching is id-count/byte
+based, data/batch_generator.py:29–62 and
+modules/retrieve_data_from_database.py:204–247); these extend that
+admission machinery to the LLM-training shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import hexint, normalize_text, word_shingles
+from ..sources.tables import load_table
+from .registry import register
+
+_TOKENS = r"\w+"
+
+
+@register(
+    "token_budget_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_before // 4096 AS INT) AS batch_id
+    FROM packed
+    """,
+    doc="Sequence packing: assign documents to fixed token-budget "
+    "training batches (4096 tokens) by running prefix sum in stable "
+    "doc_id order, PER LANGUAGE — the packing window is partitioned, "
+    "so at 100 TB each language packs independently in parallel "
+    "instead of one global sequential cumsum (the same reason "
+    "byte_budget_admission partitions by corpus). A batch may "
+    "overflow by at most its last document — the standard greedy "
+    "packing contract.",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKENS), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096)
+        .cast("int")
+        .alias("batch_id"),
+    )
+
+
+@register(
+    "contamination_flags",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]
+               AS shingle
+      FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+      WHERE len(ts) >= 5
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT s.doc_id, CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_shared
+    FROM sh s JOIN eval_sh e ON e.shingle = s.shingle
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id
+    """,
+    doc="Benchmark-contamination screen: training documents sharing "
+    "any 5-gram with the held-out eval set (doc_id % 50 = 0 stands in "
+    "for the benchmark table), with the count of distinct shared "
+    "5-grams. The eval shingle set is small → broadcast semi-ish "
+    "join against it; the training side streams through map-side. "
+    "Same shape as real decontamination (eval suites are KBs, the "
+    "corpus is the 100 TB side).",
+)
+def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=5)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_sh), on="shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
+
+@register(
+    "curation_funnel",
+    """
+    WITH base AS (SELECT * FROM documents),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+             len(regexp_extract_all(lower(text), '\\w+')) AS words
+      FROM base
+    ),
+    deduped AS (
+      SELECT * FROM norm WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM norm GROUP BY md5(nt)
+      )
+    ),
+    quality AS (SELECT * FROM deduped WHERE words >= 10)
+    SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM base
+    UNION ALL
+    SELECT 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM deduped
+    UNION ALL
+    SELECT 'quality_min_words', CAST(COUNT(*) AS BIGINT) FROM quality
+    """,
+    doc="Curation funnel report: per-stage survivor counts for the "
+    "dedup → quality chain (the jobs.py `curate` pipeline as a single "
+    "observable query). Each stage is a COUNT over the previous — "
+    "at scale the three counts share one scan via the common subplan, "
+    "and the dedup keep-set is a hash-group min, never a pairwise op.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("nt"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKENS), 0)).alias("words"),
+    )
+    keep = norm.groupBy(F.md5("nt")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    deduped = norm.join(keep, on="doc_id")
+    quality = deduped.filter(F.col("words") >= 10)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("input", docs)
+        .unionAll(stage("exact_dedup", deduped))
+        .unionAll(stage("quality_min_words", quality))
+    )

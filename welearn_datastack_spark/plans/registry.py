@@ -59,6 +59,6 @@ def _load_groups() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import q_dedup, q_extra, q_kernel, q_ml, q_relational, q_text  # noqa: F401
+    from . import q_curation, q_dedup, q_extra, q_kernel, q_ml, q_relational, q_text  # noqa: F401
 
     _LOADED = True
