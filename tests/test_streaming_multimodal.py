@@ -102,3 +102,36 @@ def test_sample_frames_zero_frames_yields_no_rows(spark):
     rows = sample_frames(df, every_n=4).collect()
     assert {r["id"] for r in rows} == {"a"}
     assert [r["frame_index"] for r in rows] == [0, 4, 8]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path, events_dir):
+    from welearn_datastack_spark.streaming.state_machine import stream_dedup_urls
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    stream_dedup_urls(spark, events_dir, ckpt, out, watermark="365 days")
+    got = spark.read.parquet(out)
+    # horizon covers the whole file → exactly one row per key survives
+    n_keys = (
+        spark.read.parquet(events_dir).select("user_id", "event_type").distinct().count()
+    )
+    assert got.count() == n_keys
+    assert got.select("user_id", "event_type").distinct().count() == n_keys
+    # idempotent restart: the checkpoint remembers completion — a
+    # second run with the same checkpoint emits nothing new
+    stream_dedup_urls(spark, events_dir, ckpt, out, watermark="365 days")
+    assert spark.read.parquet(out).count() == n_keys
+
+
+def test_stream_enrich_join_matches_batch(spark, tmp_path, events_dir):
+    from welearn_datastack_spark.streaming.state_machine import stream_enrich_join
+
+    out = str(tmp_path / "enrich_out")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    stream_enrich_join(spark, events_dir, ckpt, out)
+    got = spark.read.parquet(out)
+    ev = spark.read.parquet(events_dir)
+    assert got.count() == ev.count()
+    chans = {r["event_type"]: r["channel"] for r in got.select("event_type", "channel").distinct().collect()}
+    assert chans.get("purchase") == "commerce"
+    assert all(c == "other" for t, c in chans.items() if t not in ("click", "view", "purchase"))

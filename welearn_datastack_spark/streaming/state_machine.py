@@ -152,3 +152,83 @@ def latest_state_batch_equivalent(spark: SparkSession, events_path: str) -> Data
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
     )
+
+
+def stream_dedup_urls(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+) -> Any:
+    """Streaming ingest dedup (SURVEY.md §2.10 R4): emit each
+    (user_id, event_type) key at most once per watermark horizon via
+    ``dropDuplicatesWithinWatermark``. The batch reference re-scans
+    the whole URL table per ingest to anti-join duplicates
+    (nodes_helpers/collect.py:24–30); the streaming form keeps only
+    the in-horizon key set in state — bounded memory at 100 TB/day
+    ingest, because keys age out with the watermark instead of
+    accumulating forever (what plain dropDuplicates would do)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        )
+        .parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_enrich_join(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    dim_rows: list[tuple] | None = None,
+) -> Any:
+    """Stream-static enrichment join (R5 shape): the event stream
+    joins a slowly-changing dimension (re-read every micro-batch, so
+    dimension updates take effect at the next trigger without
+    restarting the query). The static side is broadcast — the stream
+    never shuffles for the join, the same plan shape the batch
+    `model_resolution` uses."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dim = spark.createDataFrame(
+        dim_rows or [("click", "web"), ("view", "web"), ("purchase", "commerce")],
+        "event_type STRING, channel STRING",
+    )
+    events = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        )
+        .parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    enriched = events.join(F.broadcast(dim), on="event_type", how="left").select(
+        "event_id", "user_id", "event_type", F.coalesce("channel", F.lit("other")).alias("channel")
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
