@@ -45,6 +45,7 @@ HEADLINE = [
     "grouped_vector_search",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "sq8_ann_topk",
     "word_window_slices",
     "tfidf_top_terms",
     "minhash_lsh_candidates",

@@ -183,3 +183,22 @@ def test_incremental_lsh_candidates(spark, sf_dir):
         if (r["a_id"] < 400) != (r["b_id"] < 400)
     }
     assert {(n, e) for n, e in incr} == full
+
+
+def test_sq8_quantization_recall(spark, sf_dir):
+    """SQ8 is an approximation of the exact scorer, not a different
+    metric: 256 levels on 64-dim vectors should keep top-5 recall
+    high, and a finer grid must never do worse than coarse."""
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    exact = REGISTRY["cosine_topk"].build(spark, sf_dir).collect()
+    sq8 = REGISTRY["sq8_ann_topk"].build(spark, sf_dir).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["q_id"], set()).add(r["c_id"])
+    got = {}
+    for r in sq8:
+        got.setdefault(r["q_id"], set()).add(r["c_id"])
+    recalls = [len(want[q] & got.get(q, set())) / len(want[q]) for q in want]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

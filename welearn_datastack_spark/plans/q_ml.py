@@ -288,3 +288,50 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_by(scored, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
         "q_id", "c_id", "cosine", "rnk"
     )
+
+
+@register(
+    "sq8_ann_topk",
+    """
+    WITH rng AS (
+      SELECT vec_id, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
+      FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id
+    ), deq AS (
+      SELECT e.vec_id, ge.i, r.mn, r.mx,
+             CASE WHEN r.mx > r.mn
+                  THEN r.mn + floor((CAST(ge.v AS DOUBLE) - r.mn) / ((r.mx - r.mn) / 255.0))
+                             * ((r.mx - r.mn) / 255.0)
+                  ELSE r.mn END AS v
+      FROM embeddings e
+      JOIN rng r ON r.vec_id = e.vec_id,
+      LATERAL (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) ge
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM deq GROUP BY vec_id
+    ), pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             ROUND(SUM(q.v * c.v) / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM deq q JOIN deq c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm
+    )
+    SELECT q_id, c_id, cosine, rnk FROM (
+      SELECT q_id, c_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, c_id ASC) AS INT) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 5
+    """,
+    doc="Similarity search, SQ8 path: per-vector scalar quantization "
+    "to 256 levels (floor, deterministic), cosine top-5 on the "
+    "dequantized values — the 4×-memory-compression ANN variant; "
+    "same broadcast nested-loop + per-query top-k plan as the exact "
+    "path, so swapping precision never changes the plan shape.",
+)
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import sq8_dequantize
+
+    queries, corpus = _split(spark, sf_dir)
+    dq = queries.select("q_id", sq8_dequantize(F.col("embedding")).alias("embedding"))
+    dc = corpus.select("c_id", sq8_dequantize(F.col("embedding")).alias("embedding"))
+    return brute_force_topk(dq, dc, k=5).select("q_id", "c_id", "cosine", "rnk")
