@@ -275,3 +275,62 @@ def incremental_lsh_candidates(
         .select("new_id", "existing_id")
         .dropDuplicates(["new_id", "existing_id"])
     )
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming,
+    found WITHOUT a quadratic comparison: split the fingerprint into
+    ``n_bands`` bit-bands and pair only documents sharing a band value
+    — by pigeonhole, any pair within ``n_bands - 1`` differing bits
+    shares at least one exact band, so banded candidates + exact
+    hamming filter is EXACT (not approximate) for
+    ``max_hamming < n_bands``. Output (a_id, b_id, hamming), a_id <
+    b_id. Same bucket-explosion shape as LSH candidates: one pass,
+    shuffle on the (band, band_key) bucket, work bucket-local."""
+    assert max_hamming < n_bands, "banding is only exact for max_hamming < n_bands"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        # F.shiftright only takes a literal shift — the per-row band
+        # offset needs the SQL form
+        "band_key",
+        F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit(mask)),
+    )
+    members = (
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("m_id"), F.col("simhash").alias("m_h")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ms) - 2),"
+                " i -> transform(sequence(i + 1, size(ms) - 1),"
+                " j -> struct(ms[i].m_id AS a_id, ms[j].m_id AS b_id,"
+                "             ms[i].m_h AS ha, ms[j].m_h AS hb))))"
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id", "p.ha", "p.hb")
+    return (
+        pairs.dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

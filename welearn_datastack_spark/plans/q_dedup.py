@@ -194,3 +194,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_min_label(pairs).select(
         "node", F.col("component").cast("long").alias("component")
     )
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, {_HEXINT.format(x="tok")} AS h FROM toks
+    ), per_bit AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, unnest(generate_series(0, 15)) AS b(j)
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+      FROM per_bit GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="Dedup: SimHash near-pairs (hamming ≤ 3 over 16-bit "
+    "fingerprints) via 4-band pigeonhole bucketing — EXACT, not "
+    "approximate, for hamming < band count, with pair generation "
+    "bucket-local (the oracle's quadratic self-join is the semantic "
+    "spec, not the plan; the Spark side never compares all pairs).",
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs, "doc_id", "text", bits=16)
+    return simhash_near_pairs(fp, "doc_id", bits=16, n_bands=4, max_hamming=3)
