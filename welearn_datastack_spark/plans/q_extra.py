@@ -843,3 +843,35 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
         F.sum((F.col("words") < 15).cast("long")).alias("n_too_short"),
     )
+
+
+@register(
+    "cube_source_lang_stats",
+    """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(grouping(source) AS INT) AS g_source,
+           CAST(grouping(lang) AS INT) AS g_lang
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+    doc="CUBE aggregation: all four (source, lang) grouping "
+    "combinations in ONE pass — Spark's Expand operator replicates "
+    "each input row per grouping set map-side, so the corpus is "
+    "scanned once instead of four times; grouping() flags "
+    "disambiguate NULL-as-total from NULL-as-value, the standard "
+    "warehouse subtotal contract (complement of the ROLLUP query).",
+)
+def cube_source_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+        )
+        .select("source", "lang", "n_docs", "total_chars", "g_source", "g_lang")
+    )
