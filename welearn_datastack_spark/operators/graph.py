@@ -108,3 +108,50 @@ def connected_components_min_label(
         if stable:
             break
     return labels
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank (simplified: dangling mass dropped,
+    uniform 1.0 init) — the iterative-numeric complement of BFS and
+    connected components. Each iteration is one edge⋈rank join + one
+    aggregation, both keyed on node ids; ``localCheckpoint`` truncates
+    lineage per iteration exactly as the BFS loop does. A fixed
+    iteration count (not convergence-test) keeps the result
+    deterministic and oracle-checkable; production would loop until
+    L1 delta < ε with the same body. Returns (node, r)."""
+    e = (
+        edges.select(F.col(src), F.col(dst))
+        .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .dropDuplicates([src, dst])
+    )
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .unionByName(e.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    base = 1.0 - damping
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e[src] == ranks["node"])
+            .join(deg, on=src)
+            .select(F.col(dst).alias("node"), (F.col("r") / F.col("__deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -875,3 +875,55 @@ def cube_source_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "lang", "n_docs", "total_chars", "g_source", "g_lang")
     )
+
+
+_PR_EDGES = """
+    WITH edges AS (
+      SELECT DISTINCT user_id AS src,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _pr_step(i: int) -> str:
+    return f"""
+    , c{i} AS (
+      SELECT e.dst AS node, SUM(p.r / d.deg) AS s
+      FROM edges e JOIN pr{i - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), pr{i} AS (
+      SELECT n.node, 0.15 + 0.85 * COALESCE(c.s, 0) AS r
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )"""
+
+
+@register(
+    "pagerank_3iter",
+    _PR_EDGES
+    + ", pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes)"
+    + "".join(_pr_step(i) for i in (1, 2, 3))
+    + """
+    SELECT node, ROUND(r + 5e-10, 6) AS pr FROM pr3
+    """,
+    doc="Iterative numeric: 3-iteration PageRank (damping 0.85, "
+    "dangling mass dropped) over the events-derived edge graph — "
+    "per-iteration edge⋈rank join + aggregation with lineage "
+    "truncation (operators/graph.pagerank_fixed); oracle unrolls the "
+    "same three steps as chained CTEs. Fixed iterations keep it "
+    "deterministic; the production convergence loop shares the body.",
+)
+def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixed
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+    )
+    return pagerank_fixed(edges, n_iter=3).select(
+        "node", F.round(F.col("r") + F.lit(5e-10), 6).alias("pr")
+    )
