@@ -195,3 +195,30 @@ def test_connected_components_two_clusters(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (9, 7)], ["src", "dst"])
     out = {r["node"]: r["component"] for r in connected_components_min_label(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_sketch_profile_error_bounds(spark):
+    """Sketch estimates must sit within their advertised error of the
+    exact answers (the contract that makes them usable as a profiling
+    substitute at scale)."""
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+    from welearn_datastack_spark.sources.tables import load_table
+
+    _load_groups()
+    sf_dir = "/root/testdata/sf0.01"
+    got = {r["source"]: r for r in REGISTRY["sketch_corpus_profile"].build(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for src, e in exact.items():
+        g = got[src]
+        assert abs(g["approx_docs"] - e["nd"]) <= max(1, 0.05 * e["nd"]), (src, g, e)
+        # percentile_approx with accuracy 10000 on these group sizes is exact
+        assert abs(g["p50_chars"] - e["p50"]) <= max(1, 0.02 * e["p50"]), (src, g, e)

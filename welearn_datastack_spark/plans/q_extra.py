@@ -927,3 +927,35 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(edges, n_iter=3).select(
         "node", F.round(F.col("r") + F.lit(5e-10), 6).alias("pr")
     )
+
+
+@register(
+    "sketch_corpus_profile",
+    None,  # HLL++ / KLL internals are implementation-defined → rows-only
+    doc="Approximate sketches: per-source HyperLogLog++ distinct "
+    "users-of-docs (approx_count_distinct, rsd 1%) and KLL-style "
+    "approximate length percentiles (percentile_approx) — the "
+    "fixed-memory profiling pass a 100 TB corpus gets where exact "
+    "distinct/percentile would shuffle every row; mergeable sketch "
+    "partials combine map-side like any partial agg. Error bounds "
+    "asserted against exact values in tests/test_operators.py (no "
+    "SQL oracle: sketch estimates are engine-implementation-defined).",
+)
+def sketch_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.approx_count_distinct("doc_id", rsd=0.01).alias("approx_docs"),
+            F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias("len_pcts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "source",
+            "approx_docs",
+            F.col("len_pcts")[0].alias("p50_chars"),
+            F.col("len_pcts")[1].alias("p90_chars"),
+            F.col("len_pcts")[2].alias("p99_chars"),
+            "n_rows",
+        )
+    )
