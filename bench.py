@@ -56,6 +56,9 @@ HEADLINE = [
     "quality_score",
     "token_budget_packing",
     "contamination_flags",
+    "duplicate_span_fraction",
+    "token_entropy",
+    "pmi_cooccurrence",
 ]
 
 

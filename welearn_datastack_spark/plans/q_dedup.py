@@ -231,3 +231,66 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash(docs, "doc_id", "text", bits=16)
     return simhash_near_pairs(fp, "doc_id", bits=16, n_bands=4, max_hamming=3)
+
+
+@register(
+    "duplicate_span_fraction",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+             ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7] AS shingle
+      FROM toks, unnest(generate_series(1, len(ts) - 7)) AS g(i)
+      WHERE len(ts) >= 8
+    ), cnt AS (
+      SELECT shingle, COUNT(*) AS n_docs_sh FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN c.n_docs_sh >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_shingles,
+           ROUND(SUM(CASE WHEN c.n_docs_sh >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*) + 5e-10, 4) AS dup_span_frac
+    FROM sh s JOIN cnt c USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    doc="Substring-level dedup signal (Lee et al., 'Deduplicating "
+    "Training Data'): per document, the fraction of its distinct "
+    "8-token shingles that also occur in at least one OTHER document "
+    "— the standard 'duplicated span' measure used to excise "
+    "cross-document boilerplate rather than drop whole docs. Plan: "
+    "shingles arrive clustered on doc_id (word_shingles "
+    "repartitions), the document-frequency count is a window over "
+    "shingle (one exchange), and the per-doc rollup re-clusters on "
+    "doc_id. At 100 TB, shuffle xxhash64(shingle) longs instead of "
+    "~60-byte shingle strings (8-byte keys, same counts modulo a "
+    "~2^-64 collision) — kept as strings here for bit-exact oracle "
+    "parity; and the shingle-df table is the same artifact the "
+    "contamination screen and LSH banding already build — one "
+    "pipeline can share it. Epsilon +5e-10 before ROUND on both "
+    "sides: int-ratio halves round differently in binary vs decimal.",
+)
+def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=8)
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("n_docs_sh", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs_sh") >= 2).cast("long")).alias("n_shared_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared_shingles",
+            F.round(
+                F.col("n_shared_shingles") / F.col("n_shingles") + F.lit(5e-10), 4
+            ).alias("dup_span_frac"),
+        )
+    )

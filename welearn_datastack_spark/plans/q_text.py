@@ -620,3 +620,124 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("lang").agg(
         pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
     )
+
+
+@register(
+    "token_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) + 5e-10, 4)
+             AS token_entropy
+    FROM tf GROUP BY doc_id
+    """,
+    doc="Quality signal: per-document Shannon entropy of the token "
+    "unigram distribution (H = log2 n − Σ c·log2 c / n) — low entropy "
+    "flags repetitive/generated gibberish, the same family of filter "
+    "as the Gopher repetition rules but distribution-shaped. Two "
+    "hash aggregations, both with map-side partial combine; the "
+    "algebraic identity avoids materializing per-term probabilities, "
+    "so the second agg carries three running sums. Docs with zero "
+    "tokens produce no row (no distribution to score) on both sides.",
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spark_par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(spark_par, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+            ).alias("tok"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c") + F.lit(5e-10),
+            4,
+        ).alias("token_entropy"),
+    )
+
+
+@register(
+    "pmi_cooccurrence",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+      FROM documents
+    ), df AS (
+      SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok
+    ), total AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks
+    ), pairs AS (
+      SELECT a.tok AS tok1, b.tok AS tok2, COUNT(*) AS n_pair
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT tok1, tok2, CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(n_pair::DOUBLE * n_docs / (d1.n_tok * d2.n_tok) + 5e-10, 4)
+             AS lift
+    FROM pairs
+    JOIN df d1 ON d1.tok = pairs.tok1
+    JOIN df d2 ON d2.tok = pairs.tok2
+    CROSS JOIN total
+    WHERE n_pair >= 50
+    """,
+    doc="Corpus analytics: pointwise co-occurrence lift for token "
+    "pairs — P(t1,t2)/(P(t1)P(t2)) at document granularity, the "
+    "exponentiated-PMI collocation score (kept as a ratio: ln() "
+    "differs by ulps across engines, plain arithmetic hashes "
+    "identically). Plan shape: per-doc distinct tokens stay "
+    "clustered on doc_id so the pair self-join is exchange-free on "
+    "both sides; pair counts partial-aggregate map-side; the "
+    "document-frequency and total-docs sides are tiny and broadcast. "
+    "At 100 TB the pair blow-up is bounded by capping the vocabulary "
+    "(df filter) before pairing — here the synthetic vocab is ~40 "
+    "terms, the n_pair >= 50 floor plays that role.",
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spark_par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(spark_par, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0))
+            ).alias("tok"),
+        )
+    )
+    df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok1"), F.col("b.tok").alias("tok2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 50)
+    )
+    return (
+        pairs.join(F.broadcast(df_tok.withColumnRenamed("tok", "tok1").withColumnRenamed("n_tok", "n1")), "tok1")
+        .join(F.broadcast(df_tok.withColumnRenamed("tok", "tok2").withColumnRenamed("n_tok", "n2")), "tok2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok1",
+            "tok2",
+            "n_pair",
+            F.round(
+                F.col("n_pair") * F.col("n_docs") / (F.col("n1") * F.col("n2")) + F.lit(5e-10),
+                4,
+            ).alias("lift"),
+        )
+    )
