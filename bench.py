@@ -59,6 +59,8 @@ HEADLINE = [
     "duplicate_span_fraction",
     "token_entropy",
     "pmi_cooccurrence",
+    "ngram_novelty",
+    "embedding_dispersion",
 ]
 
 

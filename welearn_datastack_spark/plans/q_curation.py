@@ -158,3 +158,43 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("exact_dedup", deduped))
         .unionAll(stage("quality_min_words", quality))
     )
+
+
+@register(
+    "temperature_mixture_weights",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(lower(text), '\\w+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (SELECT SUM(sqrt(n_tokens)) AS z FROM s)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+           ROUND(sqrt(n_tokens) / z + 5e-10, 6) AS mix_weight
+    FROM s CROSS JOIN z
+    """,
+    doc="Dataset-mixing: temperature-scaled sampling weights per "
+    "source, w_s ∝ n_tokens^α with α=0.5 (the multilingual-LM "
+    "up/down-sampling rule; sqrt is IEEE correctly-rounded, so both "
+    "engines compute it bit-identically, unlike pow/ln). One "
+    "hash-agg over the corpus, then a single-row normalizer "
+    "broadcast back — at 100 TB the per-source table is KBs "
+    "regardless of corpus size, so the second pass is free. "
+    "Composes with `source_quota_mix` (weights → quotas) and "
+    "`stratified_sample` (quotas → hash-bucket keep rates).",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)).cast("long")
+        ).alias("n_tokens"),
+    )
+    z = s.agg(F.sum(F.sqrt(F.col("n_tokens"))).alias("z"))
+    return s.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens")) / F.col("z") + F.lit(5e-10), 6).alias("mix_weight"),
+    )

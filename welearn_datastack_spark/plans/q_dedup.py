@@ -294,3 +294,56 @@ def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_frac"),
         )
     )
+
+
+@register(
+    "ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM toks, unnest(generate_series(1, len(ts) - 2)) AS g(i)
+      WHERE len(ts) >= 3
+    ), owner AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*) + 5e-10, 4) AS novelty
+    FROM sh s JOIN owner o USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    doc="Incremental-dedup novelty score: fraction of a document's "
+    "distinct 3-gram shingles whose FIRST corpus occurrence (min "
+    "doc_id = ingestion order) is this document — the streaming-"
+    "arrival view of span dedup: a doc that re-treads earlier "
+    "content scores near 0 and is dropped before training. Same "
+    "plan skeleton as duplicate_span_fraction (window over shingle, "
+    "rollup on doc_id); in a live pipeline the `owner` side is the "
+    "persisted first-seen shingle store probed incrementally "
+    "(operators/dedup.incremental_lsh_candidates is the LSH twin).",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("first_doc", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles") + F.lit(5e-10), 4).alias("novelty"),
+        )
+    )

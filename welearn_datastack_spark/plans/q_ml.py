@@ -335,3 +335,69 @@ def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq = queries.select("q_id", sq8_dequantize(F.col("embedding")).alias("embedding"))
     dc = corpus.select("c_id", sq8_dequantize(F.col("embedding")).alias("embedding"))
     return brute_force_topk(dq, dc, k=5).select("q_id", "c_id", "cosine", "rnk")
+
+
+@register(
+    "embedding_dispersion",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, i, AVG(v) AS c FROM ex GROUP BY label, i
+    ), per_vec AS (
+      SELECT vec_id, ex.label,
+             SUM(v * c) AS dot, SUM(v * v) AS nv, SUM(c * c) AS nc
+      FROM ex JOIN cent ON cent.label = ex.label AND cent.i = ex.i
+      GROUP BY vec_id, ex.label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(dot / (sqrt(nv) * sqrt(nc))) + 5e-10, 4)
+             AS avg_cos_to_centroid
+    FROM per_vec GROUP BY label
+    """,
+    doc="Corpus-diversity profiling: per-label embedding dispersion — "
+    "mean cosine of each vector to its label centroid (1.0 = "
+    "collapsed/duplicate cluster, → 0 = diverse; the standard "
+    "diversity gate before sampling a training mix). The centroid "
+    "is an element-wise AVG over posexploded vectors: one shuffle "
+    "on (label, pos) bounded by |labels|×dim regardless of corpus "
+    "size, then the cosine rollup re-clusters on vec_id. At 100 TB "
+    "the centroid table is KBs and broadcast; no pairwise "
+    "comparison anywhere (mean pairwise cosine ≈ centroid form via "
+    "the norm identity).",
+)
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    spark_par = spark.sparkContext.defaultParallelism
+    ex = (
+        emb.repartition(spark_par, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("i0", "vf"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("i0") + 1).alias("i"),
+            F.col("vf").cast("double").alias("v"),
+        )
+    )
+    cent = ex.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    per_vec = (
+        ex.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg(F.col("dot") / (F.sqrt("nv") * F.sqrt("nc"))) + F.lit(5e-10), 4
+        ).alias("avg_cos_to_centroid"),
+    )
