@@ -219,6 +219,7 @@ def test_sketch_profile_error_bounds(spark):
     }
     for src, e in exact.items():
         g = got[src]
-        assert abs(g["approx_docs"] - e["nd"]) <= max(1, 0.05 * e["nd"]), (src, g, e)
-        # percentile_approx with accuracy 10000 on these group sizes is exact
-        assert abs(g["p50_chars"] - e["p50"]) <= max(1, 0.02 * e["p50"]), (src, g, e)
+        # the query now emits error-bound booleans (driver-hashable);
+        # exact n_docs cross-checks the countDistinct leg
+        assert g["n_docs"] == e["nd"], (src, g, e)
+        assert g["hll_ok"] and g["p50_ok"] and g["p90_ok"] and g["p99_ok"], (src, g)

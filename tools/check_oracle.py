@@ -23,9 +23,11 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb_conn(sf_dir)
     failed = []
+    ran = 0
     for name, spec in REGISTRY.items():
         if names and name not in names:
             continue
+        ran += 1
         t0 = time.time()
         try:
             issues = check_query(spark, spec, sf_dir, con)
@@ -39,7 +41,13 @@ def main() -> int:
             print(f"       {msg[:500]}")
         if issues:
             failed.append(name)
-    print(f"\n{len(REGISTRY) - len(failed)}/{len(REGISTRY)} queries match")
+    scope = f" of {len(REGISTRY)} registered" if ran < len(REGISTRY) else ""
+    print(f"\n{ran - len(failed)}/{ran} queries ran and match{scope}")
+    if names:
+        missing = sorted(set(names) - set(REGISTRY))
+        if missing:
+            print(f"unknown names (not run): {missing}")
+            return 1
     return 1 if failed else 0
 
 

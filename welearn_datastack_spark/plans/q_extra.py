@@ -105,19 +105,23 @@ def string_cleanup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_event_list",
     """
     SELECT user_id,
-           list(event_id ORDER BY event_id) AS event_ids,
+           array_to_string(list(event_id ORDER BY event_id), ',') AS event_ids,
            CAST(len(list(event_id)) AS INT) AS n
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY user_id
     """,
     doc="A5: slices-per-document grouping as ordered collect_list "
-    "(ref document_classifier.py:80-87 itertools.groupby)",
+    "(ref document_classifier.py:80-87 itertools.groupby). The ordered id "
+    "list is emitted as a ','-joined string so the driver's pandas "
+    "canonicalizer (which sorts on output cells) gets hashable scalars; "
+    "groups are never empty so array_to_string's NULL-on-empty quirk "
+    "cannot fire.",
 )
 def grouped_event_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        F.concat_ws(",", F.sort_array(F.collect_list("event_id"))).alias("event_ids"),
         F.count(F.lit(1)).cast("int").alias("n"),
     )
 
@@ -384,10 +388,27 @@ def stream_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    None,  # decode stub is not SQL-expressible → rows-only check
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(64 + h % 512 AS INT) AS width,
+           CAST(64 + (h // 512) % 512 AS INT) AS height,
+           CAST(1 + (h // 262144) % 32 AS INT) AS n_frames
+    FROM (
+      SELECT doc_id, text,
+             list_reduce(
+               list_transform(regexp_extract_all(substr(md5(text), 1, 8), '.'),
+                              c -> strpos('0123456789abcdef', c) - 1),
+               (a, b) -> a * 16 + b) AS h
+      FROM documents
+    )
+    """,
     doc="Multimodal: binary payload + typed metadata + stubbed decode "
     "via mapInPandas (width/height/n_frames deterministic from payload "
-    "hash; real codec drops in without plan changes)",
+    "hash; real codec drops in without plan changes). The stub derives "
+    "dims from md5(payload)[:8] as a 32-bit int — exactly reproducible "
+    "in the oracle (hex digits folded via list_reduce; >>9 ≡ //512, "
+    ">>18 ≡ //262144), so the driver gate checks the full mapInPandas "
+    "path, not just row counts.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_media, decode_media
@@ -612,13 +633,19 @@ def ordered_id_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_codec_roundtrip",
     """
-    SELECT vec_id, embedding FROM embeddings
+    SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+           TRUE AS is_fixpoint
+    FROM embeddings
     """,
     doc="Embedding binary codec: array<float> → float32-LE bytes → "
     "array<float> must be the identity (ref encode "
     "embedding_model_helpers.py:111-121, decode "
     "sdgs_classifiers.py:39-41; flagged as an exact-parity risk in "
-    "SURVEY.md §7). The oracle states the fixpoint.",
+    "SURVEY.md §7). Spark computes decode(encode(v)) == v elementwise "
+    "(exact float32 comparison); the oracle asserts the fixpoint as a "
+    "constant TRUE — any codec bit-loss flips the boolean and breaks "
+    "the hash. Booleans instead of raw arrays because the driver's "
+    "canonicalizer cannot sort/hash list cells.",
 )
 def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.codec import bytes_to_embedding, embedding_to_bytes
@@ -626,8 +653,11 @@ def embedding_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_self_on_executors(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    roundtrip = bytes_to_embedding(embedding_to_bytes(F.col("embedding")))
     return emb.select(
-        "vec_id", bytes_to_embedding(embedding_to_bytes(F.col("embedding"))).alias("embedding")
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        roundtrip.eqNullSafe(F.col("embedding")).alias("is_fixpoint"),
     )
 
 
@@ -931,31 +961,68 @@ def pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_corpus_profile",
-    None,  # HLL++ / KLL internals are implementation-defined → rows-only
-    doc="Approximate sketches: per-source HyperLogLog++ distinct "
-    "users-of-docs (approx_count_distinct, rsd 1%) and KLL-style "
-    "approximate length percentiles (percentile_approx) — the "
-    "fixed-memory profiling pass a 100 TB corpus gets where exact "
-    "distinct/percentile would shuffle every row; mergeable sketch "
-    "partials combine map-side like any partial agg. Error bounds "
-    "asserted against exact values in tests/test_operators.py (no "
-    "SQL oracle: sketch estimates are engine-implementation-defined).",
+    """
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM documents GROUP BY source
+    """,
+    doc="Approximate sketches: per-source HyperLogLog++ distinct docs "
+    "(approx_count_distinct, rsd 1%) and KLL-style approximate length "
+    "percentiles (percentile_approx) — the fixed-memory profiling pass "
+    "a 100 TB corpus gets where exact distinct/percentile would "
+    "shuffle every row; mergeable sketch partials combine map-side "
+    "like any partial agg. Sketch estimates are "
+    "engine-implementation-defined, so the cross-engine contract is "
+    "error-bound BOOLEANS: the oracle computes the same exact counts "
+    "and the trivially-true bound, Spark computes the real check — "
+    "HLL within 5%+2 of countDistinct, and each approx percentile "
+    "RANK-checked (its empirical cume_dist interval must overlap "
+    "[p−2%, p+2%]; rank logic, unlike value bounds, survives "
+    "adversarial gap distributions and 1-row groups). A broken sketch "
+    "flips a boolean and fails the hash. The rank check is a second "
+    "pass over documents joined to the broadcast per-source "
+    "aggregates — scale-safe (no per-group collect).",
 )
 def sketch_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.approx_count_distinct("doc_id", rsd=0.01).alias("approx_docs"),
-            F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias("len_pcts"),
-            F.count(F.lit(1)).alias("n_rows"),
+
+    agg = docs.groupBy("source").agg(
+        F.approx_count_distinct("doc_id", rsd=0.01).alias("approx_docs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], 10000).alias("apx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    joined = docs.select("source", "n_chars").join(F.broadcast(agg), "source")
+    cnt = joined.groupBy(
+        "source", "n_docs", "n_rows", "approx_docs", "apx"
+    ).agg(
+        F.count("n_chars").alias("n_val"),
+        *[
+            c
+            for i in range(3)
+            for c in (
+                F.sum((F.col("n_chars") <= F.col("apx")[i]).cast("long")).alias(f"le{i}"),
+                F.sum((F.col("n_chars") < F.col("apx")[i]).cast("long")).alias(f"lt{i}"),
+            )
+        ],
+    )
+
+    def _rank_ok(i: int, p: float, eps: float = 0.02) -> F.Column:
+        # the approx value occupies ranks (lt, le]; it is a valid
+        # p-quantile iff that interval overlaps [(p-eps)·n, (p+eps)·n]
+        ok = (F.col(f"le{i}") >= (p - eps) * F.col("n_val")) & (
+            F.col(f"lt{i}") <= (p + eps) * F.col("n_val")
         )
-        .select(
-            "source",
-            "approx_docs",
-            F.col("len_pcts")[0].alias("p50_chars"),
-            F.col("len_pcts")[1].alias("p90_chars"),
-            F.col("len_pcts")[2].alias("p99_chars"),
-            "n_rows",
-        )
+        return F.coalesce(ok, F.lit(True))  # all-null group: nothing to check
+
+    hll_ok = F.abs(F.col("approx_docs") - F.col("n_docs")) <= F.col("n_docs") * 0.05 + 2
+    return cnt.select(
+        "source",
+        "n_docs",
+        "n_rows",
+        hll_ok.alias("hll_ok"),
+        _rank_ok(0, 0.5).alias("p50_ok"),
+        _rank_ok(1, 0.9).alias("p90_ok"),
+        _rank_ok(2, 0.99).alias("p99_ok"),
     )
