@@ -76,15 +76,21 @@ def main() -> None:
     # two executions per query, best-of-2 recorded: the first run pays
     # one-time whole-stage-codegen compile + JIT for that plan shape
     # (~0.5-1.7s, measured), which is noise at any real data scale —
-    # the steady-state run is what a 1000-executor job repeats.
+    # the steady-state run is what a 1000-executor job repeats. The
+    # cold (first-run) total is reported alongside so compile-time
+    # regressions stay visible across rounds.
     times: dict[str, float] = {}
+    cold_total = 0.0
     for name in HEADLINE:
         spec = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            best = min(best, dt)
+            if i == 0:
+                cold_total += dt
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     print(
@@ -95,6 +101,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs": 2,
+                "stat": "min",
+                "cold_total_sec": round(cold_total, 3),
             }
         )
     )

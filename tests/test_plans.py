@@ -30,7 +30,48 @@ def test_q1_column_pruning(spark, sf_dir):
 
 def test_q5_broadcasts_dimensions(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q5_region_revenue")
-    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    # nation + region are hint-broadcast; customer may be auto-chosen
+    # by size at small SF but carries no hint (see test below)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# Tables whose row count grows with the TPC-H scale factor: a forced
+# broadcast on any of these OOMs at 100 TB. Only nation/region (and
+# derived bounded frames like centroids or single-row normalizers)
+# may carry hints.
+_HINT_BUDGET = {
+    # query name -> number of joins allowed to remain broadcast when
+    # autoBroadcastJoinThreshold is -1 (i.e. explicitly hinted joins),
+    # all of which must be bounded dims.
+    "tpch_q3_shipping_priority": 0,
+    "tpch_q5_region_revenue": 2,  # nation, region
+    "rollup_revenue": 2,  # nation, region
+    "tpch_q14_promo_share": 0,
+    "tpch_q16_supplier_count": 0,
+    "tpch_q18_large_orders": 0,
+    "broadcast_lookup": 1,  # nation
+}
+
+
+def test_no_broadcast_hints_on_sf_scaling_tables(spark, sf_dir):
+    """With auto-broadcast disabled, the only BroadcastHashJoins left
+    are the explicit hints — assert each query hints exactly its
+    bounded dims and nothing that scales with SF."""
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for name, allowed in _HINT_BUDGET.items():
+            plan = _plan(spark, sf_dir, name)
+            got = plan.count("BroadcastHashJoin")
+            assert got == allowed, (
+                f"{name}: {got} hinted broadcast joins, expected {allowed} "
+                f"(a hint on an SF-scaling table?)\n{plan[:2000]}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def test_latest_event_single_shuffle(spark, sf_dir):

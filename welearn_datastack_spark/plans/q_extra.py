@@ -129,24 +129,29 @@ def grouped_event_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "broadcast_lookup",
     """
-    SELECT p.p_brand,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l.l_quantity), 2) AS sum_qty
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    GROUP BY p.p_brand
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s.s_acctbal), 2) AS sum_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
     """,
     doc="J9: broadcast dimension lookup join (ref slice_id→sdg dict, "
-    "retrieve_data_from_database.py:416-429)",
+    "retrieve_data_from_database.py:416-429). The hinted side is "
+    "nation — a GENUINELY bounded dim (25 rows at any SF), matching "
+    "the reference's in-memory dict; SF-scaling tables never carry "
+    "broadcast hints in this repo (see tests/test_plans.py).",
 )
 def broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
         )
     )
 

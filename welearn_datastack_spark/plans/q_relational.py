@@ -289,8 +289,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
     ) ORDER BY revenue DESC, o_orderkey LIMIT 10
     """,
-    doc="Headline join+agg+topN (TPC-H Q3 shape): selective dimension "
-    "filter broadcast into the fact join, ordered limit",
+    doc="Headline join+agg+topN (TPC-H Q3 shape): selective filters "
+    "pushed to every scan, ordered limit. orders/customer scale with "
+    "SF, so they carry NO broadcast hint — AQE picks broadcast-hash "
+    "at small SF from runtime sizes and falls back to shuffle joins "
+    "at 100 TB instead of OOMing a forced broadcast.",
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -301,8 +304,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"))
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"))
         .groupBy(
             F.col("l_orderkey").alias("o_orderkey"), F.col("o_orderdate"), F.col("o_orderpriority")
         )
@@ -324,8 +327,10 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region r ON r.r_regionkey = n.n_regionkey
     GROUP BY r.r_name
     """,
-    doc="Headline multi-join rollup (TPC-H Q5 shape): fact ⋈ broadcast "
-    "dims chain, single-key rollup",
+    doc="Headline multi-join rollup (TPC-H Q5 shape): fact join chain "
+    "with only the BOUNDED dims (nation 25 rows, region 5) broadcast "
+    "by hint; customer scales with SF so its join strategy is left to "
+    "AQE/autoBroadcastJoinThreshold.",
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
@@ -335,7 +340,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = F.broadcast(_t(spark, sf_dir, "region"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
         .join(nation, nation.n_nationkey == F.col("c_nationkey"))
         .join(region, region.r_regionkey == nation.n_regionkey)
         .groupBy("r_name")
@@ -361,7 +366,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    # customer scales with SF — no broadcast hint (AQE decides)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
     region = F.broadcast(_t(spark, sf_dir, "region"))
     joined = (
@@ -506,10 +512,11 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate < TIMESTAMP '1999-10-01'
     GROUP BY ALL
     """,
-    doc="TPC-H Q14 shape: conditional aggregation over a broadcast "
-    "dimension join — part is broadcast, so the date-filtered fact "
-    "scan never shuffles; the CASE folds the promo split into the "
-    "same single aggregation pass (one job, zero wide stages).",
+    doc="TPC-H Q14 shape: conditional aggregation over a dimension "
+    "join; the CASE folds the promo split into one aggregation pass. "
+    "part scales with SF (200k rows/SF) so it carries no broadcast "
+    "hint — at small SF AQE broadcasts it from runtime sizes, at "
+    "100 TB the join degrades gracefully to shuffle-hash.",
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -519,7 +526,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -543,10 +550,11 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p.p_brand, p.p_size
     """,
-    doc="TPC-H Q16 shape: broadcast dimension filter + broadcast ANTI "
-    "join (exclude deficit suppliers) + COUNT DISTINCT per group. "
-    "Both the part filter and the supplier exclusion reach the fact "
-    "scan as broadcast joins — the only shuffle is the distinct-agg.",
+    doc="TPC-H Q16 shape: dimension filter join + ANTI join (exclude "
+    "deficit suppliers) + COUNT DISTINCT per group. part and supplier "
+    "both scale with SF, so neither is hint-broadcast — AQE chooses "
+    "broadcast while their filtered sizes fit and shuffle-hash "
+    "beyond; the distinct-agg stays the only guaranteed wide stage.",
 )
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = (
@@ -557,8 +565,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -579,9 +587,11 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q18 shape: HAVING-driven key selection (orders whose "
     "total quantity clears a threshold) applied back to the 3-way "
-    "join as a LEFT SEMI on the fact key, then re-aggregation. The "
-    "qualifying-key set is tiny → broadcast semi join; customer and "
-    "orders dims broadcast too, so lineitem shuffles once (final agg).",
+    "join as a LEFT SEMI on the fact key, then re-aggregation. No "
+    "forced broadcasts: the qualifying-key set, orders, and customer "
+    "all scale with SF. The semi-join probe side is an AQE-visible "
+    "shuffle-stage output, so AQE converts it to a broadcast (or a "
+    "runtime semi-join bloom filter) exactly while it is small.",
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -596,9 +606,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")), F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
