@@ -223,3 +223,47 @@ def test_sketch_profile_error_bounds(spark):
         # exact n_docs cross-checks the countDistinct leg
         assert g["n_docs"] == e["nd"], (src, g, e)
         assert g["hll_ok"] and g["p50_ok"] and g["p90_ok"] and g["p99_ok"], (src, g)
+
+
+def test_pdf_header_footer_strip_keeps_one_off_lines(spark):
+    """Modal-position strip: repeated running heads and 'Page N'
+    footers vanish, but a first-page-only title line (not modal at its
+    position) survives (RefinedDocument analog, operators/pdf_refine.py)."""
+    from welearn_datastack_spark.operators.pdf_refine import refine_pdf_pages
+
+    rows = []
+    for p in range(1, 5):
+        lines = [
+            "Running Head",
+            f"Vol. 7 No. {p}",
+            ("ACTUAL TITLE OF THE PAPER" if p == 1 else f"body text {p} alpha"),
+            f"more body {p}",
+            f"Page {p}",
+            "(c) Press",
+        ]
+        rows.append((1, p, lines))
+    df = spark.createDataFrame(rows, "doc_id int, page_no int, lines array<string>")
+    (out,) = refine_pdf_pages(df, k=2).collect()
+    text = out["text"]
+    assert "Running Head" not in text
+    assert "Vol. 7" not in text
+    assert "Page 2" not in text
+    assert "(c) Press" not in text
+    # one-off title at a non-modal position survives
+    assert "ACTUAL TITLE OF THE PAPER" in text
+    assert "body text 3 alpha" in text and "more body 4" in text
+    # page order preserved
+    assert text.index("ACTUAL TITLE") < text.index("body text 2")
+
+
+def test_pdf_strip_single_page_untouched(spark):
+    """With one page there is no repetition evidence — nothing strips
+    (threshold requires >= 2 pages)."""
+    from welearn_datastack_spark.operators.pdf_refine import refine_pdf_pages
+
+    df = spark.createDataFrame(
+        [(1, 1, ["Header", "body", "Page 1"])],
+        "doc_id int, page_no int, lines array<string>",
+    )
+    (out,) = refine_pdf_pages(df, k=1).collect()
+    assert out["text"] == "Header body Page 1"

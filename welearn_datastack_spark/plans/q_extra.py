@@ -1031,3 +1031,45 @@ def sketch_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rank_ok(1, 0.9).alias("p90_ok"),
         _rank_ok(2, 0.99).alias("p99_ok"),
     )
+
+
+@register(
+    "pdf_header_footer_strip",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             concat_ws(' ', substr(text, 1, 200), substr(text, 201, 200),
+                            substr(text, 401, 200)),
+             '\s+', ' ', 'g')) AS body
+    FROM documents
+    """,
+    doc="PDF header/footer strip (RefinedDocument analog, ref "
+    "modules/pdf_extractor.py:74-78 via refinedoc): three synthetic "
+    "pages per document carry a running title, a 'Vol. X No. Y' line, "
+    "a 'Page N' footer and a copyright footer around a 200-char body "
+    "chunk; operators/pdf_refine.py detects the positionally-modal "
+    "(digit-insensitive) lines per document and strips them. The "
+    "oracle is the ws-collapsed concatenation of the raw chunks — the "
+    "query only matches if every boilerplate line is removed and "
+    "every body chunk survives.",
+)
+def pdf_header_footer_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pdf_refine import refine_pdf_pages
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("page_no"),
+    ).select(
+        "doc_id",
+        "page_no",
+        F.array(
+            F.lit("The Journal of Synthetic Documents"),
+            F.format_string("Vol. %d No. %d", F.col("doc_id").cast("int"), F.col("page_no")),
+            F.expr("substr(text, 1 + (page_no - 1) * 200, 200)"),
+            F.format_string("Page %d", F.col("page_no")),
+            F.lit("(c) Example Press"),
+        ).alias("lines"),
+    )
+    return refine_pdf_pages(pages, k=2).withColumnRenamed("text", "body")
