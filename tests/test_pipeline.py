@@ -265,3 +265,81 @@ def test_slice_udtf_matches_pack_slices(spark):
         by_doc.setdefault(r["id"], []).append(r["body"])
     assert by_doc["d1"] == pack_slices("one two three. four five six seven.", 20, True)
     assert by_doc["d2"] == pack_slices(" ".join(["w"] * 45), 20, True)
+
+
+def test_build_points_payload_completeness(spark):
+    """Payload carries EVERY field of the reference's
+    convert_slice_in_qdrant_point (qdrant_handler.py:114-138),
+    including document_desc / document_details / document_scrape_date."""
+    import datetime as dt
+
+    from welearn_datastack_spark.pipeline.qdrant_sync import (
+        build_points,
+        doc_top2_sdgs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                "Doc One",
+                "https://x/1",
+                "en",
+                "hal",
+                "a short description",
+                '{"doi": "10.1/x"}',
+                dt.datetime(2024, 5, 1, 12, 0, 0),
+            )
+        ],
+        "document_id string, title string, url string, lang string, "
+        "corpus string, description string, details string, created_at timestamp",
+    )
+    slices = spark.createDataFrame(
+        [("d1", 0, "body text", [0.1, 0.2], 3)],
+        ["document_id", "order_sequence", "body", "embedding", "sdg"],
+    )
+    sdgs = doc_top2_sdgs(spark.createDataFrame([("d1", 3)], ["document_id", "sdg"]))
+    (p,) = build_points(slices, docs, sdgs).collect()
+    pay = p["payload"].asDict()
+    expected_keys = {
+        "document_title", "payload_document_id", "document_url",
+        "document_lang", "slice_content", "document_corpus",
+        "document_desc", "document_details", "document_scrape_date",
+        "document_sdg", "slice_sdg",
+    }
+    assert set(pay) == expected_keys
+    assert pay["document_desc"] == "a short description"
+    assert pay["document_details"] == '{"doi": "10.1/x"}'
+    assert pay["document_scrape_date"].startswith("2024-05-01")
+
+
+def test_merge_details_strict_and_nonstrict(spark):
+    """ref computed_metadata.py:251-252: non-strict keeps existing
+    keys; strict overwrites; nested values survive as real JSON."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from welearn_datastack_spark.operators.details import merge_details
+
+    df = spark.createDataFrame(
+        [("a", '{"duration": "5", "keep": 1}'), ("b", None), ("c", "{}")],
+        "id string, details string",
+    )
+    out = merge_details(
+        df,
+        {
+            "duration": F.lit("9"),
+            "langs": F.array(F.lit("en"), F.lit("fr")),
+        },
+    )
+    got = {r["id"]: _json.loads(r["details"]) for r in out.collect()}
+    assert got["a"]["duration"] == "5"  # existing key untouched
+    assert got["a"]["keep"] == 1
+    assert got["a"]["langs"] == ["en", "fr"]  # nested value, real JSON
+    assert got["b"] == {"duration": "9", "langs": ["en", "fr"]}
+    assert got["c"]["duration"] == "9"
+
+    strict = merge_details(df, {"duration": F.lit("9")}, strict=True)
+    got2 = {r["id"]: _json.loads(r["details"]) for r in strict.collect()}
+    assert got2["a"]["duration"] == "9"  # strict recompute overwrites

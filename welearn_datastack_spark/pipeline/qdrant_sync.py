@@ -61,7 +61,13 @@ def doc_top2_sdgs(slice_sdgs: DataFrame) -> DataFrame:
 
 def build_points(slices: DataFrame, docs: DataFrame, doc_sdgs: DataFrame) -> DataFrame:
     """One point per slice: (point_id, vector, payload struct) —
-    payload fields mirror qdrant_handler.py:114–138."""
+    payload fields mirror qdrant_handler.py:114–138 COMPLETELY:
+    document_desc / document_details / document_scrape_date ride along
+    when the docs side carries description / details / created_at
+    (they default to null otherwise, e.g. in minimal test fixtures)."""
+    opt = lambda name: (  # noqa: E731
+        F.col(name) if name in docs.columns else F.lit(None).cast("string")
+    )
     return (
         slices.join(docs, on="document_id")
         .join(doc_sdgs, on="document_id", how="left")
@@ -76,6 +82,9 @@ def build_points(slices: DataFrame, docs: DataFrame, doc_sdgs: DataFrame) -> Dat
                 F.col("lang").alias("document_lang"),
                 F.col("body").alias("slice_content"),
                 F.col("corpus").alias("document_corpus"),
+                opt("description").alias("document_desc"),
+                opt("details").alias("document_details"),
+                opt("created_at").cast("string").alias("document_scrape_date"),
                 F.col("document_sdgs").alias("document_sdg"),
                 F.col("sdg").alias("slice_sdg"),
             ).alias("payload"),

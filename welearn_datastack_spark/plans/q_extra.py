@@ -1073,3 +1073,42 @@ def pdf_header_footer_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lines"),
     )
     return refine_pdf_pages(pages, k=2).withColumnRenamed("text", "body")
+
+
+@register(
+    "details_merge_writeback",
+    """
+    SELECT event_id,
+           CAST(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT),
+                         999) AS BIGINT) AS k_out,
+           CAST(trunc(value * 2) AS BIGINT) AS duration_out,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS had_k
+    FROM events
+    """,
+    doc="details-JSON merge write-back (ref computed_metadata.py:"
+    "225-273 compute_duration/readability set-if-absent +"
+    " plugins' per-source details merge, hal.py:141-148): merge "
+    "{'duration': trunc(value*2), 'k': 999} into props NON-strictly — "
+    "an existing 'k' must survive, a missing one takes the default, "
+    "'duration' is always new. The oracle recomputes both outcomes "
+    "from the raw JSON; comparing extracted values (not raw JSON "
+    "text) keeps key-ordering differences out of the hash.",
+)
+def details_merge_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.details import merge_details
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "props")
+    merged = merge_details(
+        ev,
+        {
+            "duration": F.expr("CAST(value * 2 AS BIGINT)"),
+            "k": F.lit(999).cast("bigint"),
+        },
+        details_col="props",
+    )
+    return merged.select(
+        "event_id",
+        F.get_json_object("props", "$.duration").cast("bigint").alias("duration_out"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_out"),
+        (F.get_json_object("props", "$.k").cast("bigint") != 999).alias("had_k"),
+    )
