@@ -142,3 +142,131 @@ def test_rss_multiline_feed(spark, tmp_path):
     )
     out = C.collect_rss_urls(spark, str(p), "rss")
     assert sorted(r["url"] for r in out.collect()) == ["https://m.org/1", "https://m.org/2"]
+
+
+# ---------------------------------------------------------------------------
+# S6 — Wikipedia collector fidelity (ref collectors/wikipedia_collector.py)
+# ---------------------------------------------------------------------------
+
+
+def _wiki_fetch_factory(seen_params):
+    """Canned MediaWiki API: one category with cmcontinue pagination,
+    one subcat, and a langlinks table."""
+
+    def fetch(params):
+        seen_params.append(params)
+        if params["action"] == "categorymembers":
+            cat = params["cmtitle"]
+            if cat == "Category:Climate" and "cmcontinue" not in params:
+                return {
+                    "query": {
+                        "categorymembers": [
+                            {"type": "page", "title": "Sea level rise"},
+                            {"type": "subcat", "title": "Category:Glaciers"},
+                        ]
+                    },
+                    "continue": {"cmcontinue": "page2"},
+                }
+            if cat == "Category:Climate":  # second page via cmcontinue
+                return {
+                    "query": {
+                        "categorymembers": [{"type": "page", "title": "Permafrost"}]
+                    }
+                }
+            if cat == "Category:Glaciers":
+                return {
+                    "query": {"categorymembers": [{"type": "page", "title": "Ice core"}]}
+                }
+            return {"query": {"categorymembers": []}}
+        # langlinks
+        table = {
+            "Sea_level_rise": "Élévation du niveau de la mer",
+            "Ice_core": "Carotte de glace",
+        }
+        pages = []
+        for t in params["titles"].split("|"):
+            links = (
+                [{"lang": params["lllang"], "title": table[t]}] if t in table else []
+            )
+            pages.append({"title": t, "langlinks": links})
+        return {"query": {"pages": pages}}
+
+    return fetch
+
+
+def test_wikipedia_collector_pagination_recursion_translation(spark):
+    import datetime as dt
+
+    from welearn_datastack_spark.sources.wikipedia_collector import (
+        WikipediaContainer,
+        collect_wikipedia_urls,
+    )
+
+    seen = []
+    out = collect_wikipedia_urls(
+        spark,
+        [WikipediaContainer("Category:Climate", depth=1, lang="en")],
+        _wiki_fetch_factory(seen),
+        now=dt.datetime(2026, 8, 13),
+    )
+    urls = sorted(r["url"] for r in out.collect())
+    # cmcontinue page 2 (Permafrost) and subcat member (Ice core) present
+    assert "https://en.wikipedia.org/wiki/Permafrost" in urls
+    assert "https://en.wikipedia.org/wiki/Ice_core" in urls
+    assert "https://en.wikipedia.org/wiki/Sea_level_rise" in urls
+    # translated titles under the TARGET language domain
+    assert (
+        "https://fr.wikipedia.org/wiki/Élévation_du_niveau_de_la_mer" in urls
+    )
+    assert "https://fr.wikipedia.org/wiki/Carotte_de_glace" in urls
+    assert len(urls) == 5
+
+    # 10-day recency window reaches the API as cmstart
+    # (ref wikipedia_collector.py:44)
+    cm = [p for p in seen if p["action"] == "categorymembers"]
+    assert all(p["cmstart"] == "2026-08-03T00:00:00Z" for p in cm)
+    # pagination carried the token
+    assert any("cmcontinue" in p for p in cm)
+    # translation batched: the container's full title set (parent +
+    # subcat, 3 titles) fits one <=50-title langlinks call, '|'-joined
+    ll = [p for p in seen if p["action"] == "langlinks"]
+    assert len(ll) == 1
+    assert ll[0]["titles"] == "Ice_core|Permafrost|Sea_level_rise"
+
+
+def test_wikipedia_collector_translation_batching(spark):
+    """>50 titles → multiple langlinks calls of <=50 titles each
+    (ref wikipedia_collector.py:188 batched(page_titles, 50))."""
+    import datetime as dt
+
+    from welearn_datastack_spark.sources.wikipedia_collector import (
+        WikipediaContainer,
+        collect_wikipedia_urls,
+    )
+
+    seen = []
+
+    def fetch(params):
+        seen.append(params)
+        if params["action"] == "categorymembers":
+            return {
+                "query": {
+                    "categorymembers": [
+                        {"type": "page", "title": f"Page {i:03d}"} for i in range(120)
+                    ]
+                }
+            }
+        return {"query": {"pages": []}}
+
+    out = collect_wikipedia_urls(
+        spark,
+        [WikipediaContainer("Category:Big", depth=0, lang="fr")],
+        fetch,
+        now=dt.datetime(2026, 8, 13),
+    )
+    assert out.count() == 120
+    ll = [p for p in seen if p["action"] == "langlinks"]
+    assert len(ll) == 3  # 120 titles -> 50+50+20
+    assert all(len(p["titles"].split("|")) <= 50 for p in ll)
+    # fr containers translate to en
+    assert all(p["lllang"] == "en" for p in ll)
