@@ -1112,3 +1112,56 @@ def details_merge_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k_out"),
         (F.get_json_object("props", "$.k").cast("bigint") != 999).alias("had_k"),
     )
+
+
+@register(
+    "lsh_near_dup_pairs",
+    f"""
+    WITH tagged AS (
+      SELECT vec_id, embedding, {{bucket_sql}} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+      FROM tagged a JOIN tagged b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.30
+    """.replace("{bucket_sql}", _bucket_sql()),
+    doc="Dedup, 100 TB path: embedding near-duplicate pairs via "
+    "random-hyperplane LSH buckets — pair generation is a bucket-local "
+    "self-join (both sides shuffle ONCE on the uniform bucket key; "
+    "candidate count is sum of bucket sizes squared, never |D|^2), "
+    "then exact cosine confirms. Promotes the operators/similarity.py "
+    "signed-projection path to a correctness-gated query beside the "
+    "brute-force embedding_near_dup baseline; the oracle shares the "
+    "derive_planes literals so both engines compute bit-identical "
+    "buckets.",
+)
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+    a = tagged.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"), "bucket"
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("ae"), F.col("be")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.30)
+    )
