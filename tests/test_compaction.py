@@ -102,3 +102,26 @@ def test_snapshot_plus_tail_equals_full_argmax(spark, tmp_path):
     got = {(r["user_id"], r["ts"]) for r in via_snapshot.select("user_id", "ts").collect()}
     want = {(r["user_id"], r["ts"]) for r in full.select("user_id", "ts").collect()}
     assert got == want
+
+
+def test_recover_interrupted_compaction(spark, tmp_path):
+    """Crash between compact()'s two renames leaves data under
+    .__old_*; startup recovery must restore it and drop staging."""
+    import os
+
+    from welearn_datastack_spark.operators.compaction import (
+        recover_interrupted_compaction,
+    )
+
+    base = str(tmp_path / "tbl")
+    spark.range(10).write.parquet(base)
+    # simulate the crash window: table moved aside, staging incomplete
+    os.rename(base, base + ".__old_deadbeef")
+    os.makedirs(base + ".__compact_cafe")
+    restored = recover_interrupted_compaction(base)
+    assert restored == "tbl.__old_deadbeef"
+    assert spark.read.parquet(base).count() == 10
+    assert not os.path.exists(base + ".__compact_cafe")
+    # idempotent when nothing is wrong
+    assert recover_interrupted_compaction(base) is None
+    assert spark.read.parquet(base).count() == 10

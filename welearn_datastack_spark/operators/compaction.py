@@ -56,11 +56,22 @@ def plan_compaction(
 
     names = [unquote(urlparse(r["file"]).path) for r in files]
     sizes = []
+    unresolved = []
     for n in names:
         try:
             sizes.append(os.path.getsize(n))
         except OSError:
-            sizes.append(0)
+            unresolved.append(n)
+    if unresolved:
+        # On a non-local filesystem input_file_name URIs don't map to
+        # local paths; silently treating them as size 0 would plan a
+        # single-file rewrite of the whole table. Refuse instead.
+        raise OSError(
+            f"cannot stat {len(unresolved)}/{len(names)} files "
+            f"(first: {unresolved[0]!r}); plan_compaction only supports "
+            "local paths — derive sizes from the path scheme's "
+            "filesystem API for remote stores"
+        )
     total = sum(sizes)
     n_out = max(1, math.ceil(total / target_file_bytes))
     return {
@@ -83,8 +94,17 @@ def compact(
     stay selective after the rewrite (the reason Delta's OPTIMIZE has
     ZORDER — sorted files prune, shuffled files don't).
 
-    Writes to a staging dir then swaps, so a concurrent reader sees
-    either the old or the new layout, never a half-written mix."""
+    Swap semantics (local-FS, SINGLE-WRITER only): writes to a
+    staging dir, then two ``os.rename`` calls move the old layout
+    aside and the staging dir into place. POSIX rename is atomic per
+    call but the pair is not — between the renames the table path
+    briefly does not exist, so a concurrent reader can error; run
+    compaction from the one writer that owns the table, during a
+    window with no readers. A crash between the renames leaves the
+    data under ``.__old_*`` — ``recover_interrupted_compaction``
+    restores it on the next startup. Object stores/HDFS need a
+    metastore- or table-format-level swap (Delta/Iceberg commit)
+    instead of renames."""
     stats = plan_compaction(spark, path, target_file_bytes)
     df = spark.read.parquet(path)
     out = df.repartition(stats["target_files"])
@@ -97,6 +117,28 @@ def compact(
     os.rename(staging, path)
     shutil.rmtree(old)
     return stats
+
+
+def recover_interrupted_compaction(path: str) -> str | None:
+    """Startup recovery for a compact() crash window: if the table
+    path is missing but a ``.__old_*`` sibling exists, restore the
+    old layout (the staging dir, if present, is incomplete by
+    definition — drop it). Returns the restored source dir or None."""
+    base = path.rstrip("/")
+    parent = os.path.dirname(base) or "."
+    prefix = os.path.basename(base)
+    olds = sorted(
+        n for n in os.listdir(parent) if n.startswith(f"{prefix}.__old_")
+    )
+    stagings = [n for n in os.listdir(parent) if n.startswith(f"{prefix}.__compact_")]
+    if not os.path.exists(base) and olds:
+        os.rename(os.path.join(parent, olds[0]), base)
+        for s in stagings:
+            shutil.rmtree(os.path.join(parent, s), ignore_errors=True)
+        return olds[0]
+    for s in stagings:
+        shutil.rmtree(os.path.join(parent, s), ignore_errors=True)
+    return None
 
 
 def snapshot_latest(

@@ -106,6 +106,14 @@ def jaccard_pairs(
     """All document pairs sharing ≥1 shingle, with Jaccard similarity
     ≥ threshold. Output (a_id, b_id, jaccard), a_id < b_id.
 
+    Threshold semantics: the similarity is ROUNDED to
+    ``round_digits`` first and the ``>=`` filter applies to the
+    rounded value, so a pair up to 5·10^-(round_digits+1) below the
+    threshold can be admitted. Deliberate: the rounded column is the
+    driver-hashed output, and filtering on the unrounded value would
+    let Spark and the SQL oracle disagree on pairs sitting exactly at
+    the rounding boundary.
+
     Pairs are generated per shingle bucket — shuffle on shingle, never
     a cross product — by collecting each bucket's (id, size) members
     and exploding the i<j combinations with array algebra. Compared to
