@@ -553,3 +553,130 @@ def test_uved_dead_letters(spark):
     out = {r["url"]: r["error_info"] for r in extract_uved(df).collect()}
     assert "NoDescriptionFound" in out["u1"]  # ref uved.py:436-437
     assert "UnauthorizedState" in out["u2"]  # ref uved.py:326-328
+
+
+# -------------------------------------------------------- Conversation
+
+CONV_FIXTURES = [
+    REF_RES / "file_plugin_input/page_conversation.html",
+    REF_RES / "file_plugin_input/page_conversation2.html",
+]
+
+
+def test_conversation_extraction_parity(spark):
+    """Mirror of the reference's test_scraping_conversation.py:56-70:
+    both fixture pages extract with non-empty title/description/
+    content and structured details."""
+    from welearn_datastack_spark.extraction.conversation import extract_conversation
+
+    df = spark.createDataFrame(
+        [(str(p), p.read_text()) for p in CONV_FIXTURES], "url string, payload string"
+    )
+    rows = extract_conversation(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["error_info"] is None, r["error_info"]
+        assert r["title"]
+        assert r["description"]
+        assert r["full_content"]
+        assert len(r["authors"]) > 0
+        for a in r["authors"]:
+            assert a["name"]
+        assert r["publication_date"] is not None
+
+
+def test_conversation_missing_title_dead_letter(spark):
+    from welearn_datastack_spark.extraction.conversation import extract_conversation
+
+    df = spark.createDataFrame(
+        [("u", "<html><body><p>no headline</p></body></html>")],
+        "url string, payload string",
+    )
+    (r,) = extract_conversation(df).collect()
+    assert "Title not found" in r["error_info"]
+
+
+def test_conversation_details_fields(spark):
+    from welearn_datastack_spark.extraction.conversation import (
+        extract_conversation_page,
+    )
+
+    html = CONV_FIXTURES[0].read_text()
+    out = extract_conversation_page(html, "u")
+    # news_keywords comma split + strip (ref conversation.py:25-32)
+    kw_line = [ln for ln in html.splitlines() if 'name="news_keywords"' in ln]
+    if kw_line:
+        assert out["news_keywords"] == [
+            k.strip()
+            for k in kw_line[0].split('content="')[1].split('"')[0].split(",")
+        ]
+    # authors carry their role as misc (ref conversation.py:56-69)
+    assert all("name" in a and "misc" in a for a in out["authors"])
+
+
+# --------------------------------------------------------------- PeerJ
+
+PEERJ_FIXTURE = REF_RES / "file_plugin_input/page_peerj1.html"
+
+
+def test_peerj_extraction_parity(spark):
+    """Mirror of the reference's test_scraping_peerj.py:44-67."""
+    from welearn_datastack_spark.extraction.peerj import extract_peerj
+
+    df = spark.createDataFrame(
+        [("https://peerj.com/articles/12713/", PEERJ_FIXTURE.read_text())],
+        "url string, payload string",
+    )
+    (r,) = extract_peerj(df).collect()
+    assert r["error_info"] is None, r["error_info"]
+    assert r["title"]
+    assert r["description"]
+    assert r["full_content"]
+    assert r["external_id"] == "10.7717/peerj.12713"
+    assert r["external_id_type"] == "DOI"
+    d = r["details"].asDict(recursive=True)
+    for key in ("license_url", "authors", "journal", "tags", "doi", "issn",
+                "publisher", "publication_date"):
+        assert d[key] is not None, key
+    assert d["license_url"] in [
+        u for u in d.values() if isinstance(u, str) and "creativecommons" in u
+    ]
+    # content cleanup: headings and supplemental sections removed
+    assert "Supplemental Information" not in r["full_content"]
+
+
+def test_peerj_unauthorized_license_dead_letter(spark):
+    from welearn_datastack_spark.extraction.peerj import extract_peerj
+
+    html = (
+        '<html><head></head><body><main>x</main>'
+        '<span class="license-p"><a href="https://example.org/proprietary">L</a></span>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("u", html)], "url string, payload string")
+    (r,) = extract_peerj(df).collect()
+    assert "UnauthorizedLicense" in r["error_info"]
+
+
+def test_peerj_simple_page_url():
+    from welearn_datastack_spark.extraction.peerj import peerj_simple_page_url
+
+    assert peerj_simple_page_url("https://peerj.com/articles/1/") == "https://peerj.com/articles/1.html"
+    assert peerj_simple_page_url("https://peerj.com/articles/1") == "https://peerj.com/articles/1.html"
+    assert peerj_simple_page_url("https://peerj.com/articles/1.html") == "https://peerj.com/articles/1.html"
+
+
+def test_figure_to_paragraph_table():
+    from welearn_datastack_spark.extraction.htmldom import parse_html
+    from welearn_datastack_spark.extraction.peerj import figure_to_paragraph
+
+    fig = parse_html(
+        "<figure><div class='title'>Table 1.</div><table>"
+        "<tr><th>Name</th><th>Value</th></tr>"
+        "<tr><td>alpha</td><td>1</td></tr>"
+        "<tr><td>beta</td><td>2</td></tr>"
+        "</table></figure>"
+    ).find("figure")
+    out = figure_to_paragraph(fig)
+    # ref peerj.py:168-186 sentence shape
+    assert out == "Table 1: Name: alpha, Value: 1.\nTable 1: Name: beta, Value: 2.\n"
