@@ -680,3 +680,71 @@ def test_figure_to_paragraph_table():
     out = figure_to_paragraph(fig)
     # ref peerj.py:168-186 sentence shape
     assert out == "Table 1: Name: alpha, Value: 1.\nTable 1: Name: beta, Value: 2.\n"
+
+
+# ------------------------------------------------------ World Bank OKR
+
+WB_FIXTURE = REF_RES / "file_plugin_input/world_bank_okr_example.xml"
+
+
+def test_world_bank_okr_extraction_parity(spark):
+    """Mirror of the reference's test_world_bank_okr.py over its own
+    OAI METS fixture."""
+    from welearn_datastack_spark.extraction.world_bank_okr import (
+        extract_world_bank_okr,
+    )
+
+    (r,) = extract_world_bank_okr(_payload_df(spark, WB_FIXTURE.read_text())).collect()
+    assert r["error_info"] is None, r["error_info"]
+    assert r["title"].startswith("Accessing Economic and Political Impacts")
+    d = r["details"].asDict(recursive=True)
+    # ref test_world_bank_okr.py:53-56: CC BY 3.0 IGO → canonical igo URL
+    assert d["licence"] == "https://creativecommons.org/licenses/by/3.0/igo/"
+    # ref :72-84: 'Last, First' normalized to 'First Last', ws-collapsed
+    import re as _re
+
+    raw_names = _re.findall(
+        r"<mods:namePart\b[^>]*>(.*?)</mods:namePart>", WB_FIXTURE.read_text(), _re.S
+    )
+
+    def _fix(n):
+        if "," in n:
+            return f"{' '.join(n.split(',')[1].split())} {' '.join(n.split(',')[0].split())}"
+        return " ".join(n.split())
+
+    assert [a["name"] for a in d["authors"]] == [_fix(n) for n in raw_names]
+    assert all(a["misc"] == "" for a in d["authors"])
+    assert d["content_from_description"] is True
+    assert d["content_from_pdf"] is False
+    # description doubles as full content (ref world_bank_okr.py:222-224)
+    assert r["full_content"] == r["description"]
+    assert r["url"].startswith("http")
+    assert all(t["name"] == t["name"].lower() for t in d["topics"])
+
+
+def test_world_bank_license_formats(spark):
+    from welearn_datastack_spark.extraction.world_bank_okr import normalize_wb_license
+
+    df = spark.createDataFrame(
+        [("CC BY 3.0 IGO",), ("CC BY 3.0",), ("CC BY-NC 4.0",), ("lorem ipsum",)],
+        "s string",
+    )
+    out = [r["u"] for r in df.select(normalize_wb_license(F.col("s")).alias("u")).collect()]
+    # ref test_world_bank_okr.py:53-80
+    assert out == [
+        "https://creativecommons.org/licenses/by/3.0/igo/",
+        "https://creativecommons.org/licenses/by/3.0/",
+        "https://creativecommons.org/licenses/by-nc/4.0/",
+        "lorem ipsum",
+    ]
+
+
+def test_world_bank_unauthorized_license_dead_letter(spark):
+    from welearn_datastack_spark.extraction.world_bank_okr import (
+        extract_world_bank_okr,
+    )
+
+    # CC BY-NC is NOT in the allow-list → UnauthorizedLicense
+    xml = WB_FIXTURE.read_text().replace("CC BY 3.0 IGO", "CC BY-NC 4.0")
+    (r,) = extract_world_bank_okr(_payload_df(spark, xml)).collect()
+    assert "UnauthorizedLicense" in r["error_info"]

@@ -21,11 +21,13 @@ from pyspark.sql import functions as F
 
 
 def xml_tag_pattern(tag: str) -> str:
-    """The reference's generated tag pattern: ``<tag ...>content</tag>``.
-    (?s) so ``.`` crosses newlines — real feeds put tags on their own
-    lines, and without DOTALL every multi-line feed silently matches
-    nothing."""
-    return rf"(?s)<{tag}[^>]*>(.*?)</{tag}>"
+    """The reference's generated tag pattern: ``<tag ...>content</tag>``
+    (regular_expression.py:simple_xml_tag_format_regex). (?s) so ``.``
+    crosses newlines — real feeds put tags on their own lines, and
+    without DOTALL every multi-line feed silently matches nothing.
+    The ``\\b`` after the tag mirrors the reference exactly — without
+    it ``<title>`` would also match ``<titleInfo>``."""
+    return rf"(?s)<{re.escape(tag)}\b[^>]*>(.*?)</{re.escape(tag)}>"
 
 
 def extract_xml_tag(col: Column, tag: str) -> Column:
@@ -35,7 +37,9 @@ def extract_xml_tag(col: Column, tag: str) -> Column:
 
 def extract_xml_attr(col: Column, tag: str, attr: str) -> Column:
     """All values of ``attr`` across ``<tag>`` occurrences."""
-    return F.regexp_extract_all(col, F.lit(rf"(?s)<{tag}[^>]*{attr}=\"([^\"]*)\""), 1)
+    return F.regexp_extract_all(
+        col, F.lit(rf"(?s)<{re.escape(tag)}\b[^>]*{attr}=\"([^\"]*)\""), 1
+    )
 
 
 # ---------------------------------------------------------------------------
