@@ -748,3 +748,88 @@ def test_world_bank_unauthorized_license_dead_letter(spark):
     xml = WB_FIXTURE.read_text().replace("CC BY 3.0 IGO", "CC BY-NC 4.0")
     (r,) = extract_world_bank_okr(_payload_df(spark, xml)).collect()
     assert "UnauthorizedLicense" in r["error_info"]
+
+
+# ------------------------------------------------------------- UNESDOC
+
+UNESDOC_ROOT = REF_RES / "file_plugin_input/root_unesdoc.json"
+
+
+def test_unesdoc_extraction_parity(spark):
+    """Mirror of the reference's test_unesdoc.py over its own
+    explore-API fixture record."""
+    from welearn_datastack_spark.extraction.unesdoc import extract_unesdoc
+
+    record = json.loads(UNESDOC_ROOT.read_text())["results"][0]
+    df = spark.createDataFrame(
+        [(json.dumps(record, ensure_ascii=False), "PDF BODY TEXT")],
+        "payload string, pdf_text string",
+    )
+    (r,) = extract_unesdoc(df, pdf_text_col="pdf_text").collect()
+    assert r["error_info"] is None, r["error_info"]
+    assert r["title"] == record["title"]
+    assert r["full_content"] == "PDF BODY TEXT"
+    # rights anchor href → licence (ref test_unesdoc.py:68)
+    d = r["details"].asDict(recursive=True)
+    assert d["licence_url"] == "https://creativecommons.org/licenses/by-sa/3.0/igo/"
+    assert d["type"] == record["type"][0]
+    assert [t["name"] for t in d["topics"]] == [s.lower() for s in record["subject"]]
+    assert d["authors"] == [{"name": record["creator"], "misc": ""}]
+    # iso3 → iso2 (ref unesdoc.py:58-71): spa → es
+    assert r["lang"] == "es"
+    # ark → iid (ref test_unesdoc.py:175-179)
+    assert r["iid"] == "p::usmarcdef_0000397002"
+
+
+def test_unesdoc_ark_to_iid(spark):
+    from welearn_datastack_spark.extraction.unesdoc import ark_to_iid
+
+    df = spark.createDataFrame(
+        [("48223/pf0000389119",), ("48223/pf0000396769/fre",), ("nonsense",)],
+        "a string",
+    )
+    got = [r["i"] for r in df.select(ark_to_iid(F.col("a")).alias("i")).collect()]
+    assert got == ["p::usmarcdef_0000389119", "p::usmarcdef_0000389119_fre".replace("389119", "396769"), None]
+
+
+def test_unesdoc_description_fallback_and_gates(spark):
+    from welearn_datastack_spark.extraction.unesdoc import extract_unesdoc
+
+    rights_ok = (
+        '<a href="https://creativecommons.org/licenses/by-sa/3.0/igo/">CC</a>'
+    )
+    base = {
+        "url": "https://unesdoc.unesco.org/ark:/48223/pf0000389119",
+        "title": "T",
+        "type": ["type"],
+        "subject": ["Happiness"],
+        "creator": "UNESCO",
+        "rights": rights_ok,
+    }
+    rows = [
+        # empty description → per-language canned fallback (ref :236-250)
+        (json.dumps(base | {"description": "", "language": ["fre"]}), "PDF"),
+        # unauthorized license → dead letter
+        (
+            json.dumps(
+                base
+                | {
+                    "description": "d",
+                    "language": ["eng"],
+                    "rights": '<a href="https://creativecommons.org/licenses/highly_bored_copyrights//">x</a>',
+                }
+            ),
+            "PDF",
+        ),
+        # no PDF text → NoContent
+        (json.dumps(base | {"description": "d", "language": ["eng"]}), None),
+        # unmapped language → WrongLangFormat
+        (json.dumps(base | {"description": "d", "language": ["xxx"]}), "PDF"),
+    ]
+    df = spark.createDataFrame(rows, "payload string, pdf_text string")
+    out = extract_unesdoc(df, pdf_text_col="pdf_text").collect()
+    assert out[0]["error_info"] is None
+    assert out[0]["description"] == "Consultez le texte intégral pour plus de détails."
+    assert "UnauthorizedLicense" in out[1]["error_info"]
+    assert "NoContent" in out[2]["error_info"]
+    assert "WrongLangFormat" in out[3]["error_info"]
