@@ -833,3 +833,57 @@ def test_unesdoc_description_fallback_and_gates(spark):
     assert "UnauthorizedLicense" in out[1]["error_info"]
     assert "NoContent" in out[2]["error_info"]
     assert "WrongLangFormat" in out[3]["error_info"]
+
+
+# --------------------------------------------------------------- OAPEN
+
+OAPEN_FIXTURE = REF_RES / "oapen_api.json"
+
+
+def test_oapen_extraction_parity(spark):
+    """Mirror of the reference's test_oapen.py over its DSpace item
+    fixture."""
+    from welearn_datastack_spark.extraction.oapen import extract_oapen
+
+    item = json.loads(OAPEN_FIXTURE.read_text())[0]
+    df = spark.createDataFrame(
+        [(json.dumps(item, ensure_ascii=False), "Lin-\nguistique des textes\nsuite")],
+        "payload string, content string",
+    )
+    (r,) = extract_oapen(df, content_text_col="content").collect()
+    assert r["error_info"] is None, r["error_info"]
+    assert r["url"] == f"https://library.oapen.org/handle/{item['handle']}"
+    assert r["title"] == item["name"]
+    assert r["lang"] == "fr"  # dc.language 'French'
+    d = json.loads(r["details_json"])
+    # ORIGINAL bitstream CC-BY-SA → canonical 4.0 URL (ref oapen.py:268-274)
+    assert d["license"] == "https://creativecommons.org/licenses/by-sa/4.0/"
+    # TEXT bundle present → txt path + backline cleanup (ref :84-96)
+    assert d["content_from_txt"] is True
+    assert r["full_content"] == "Linguistique des textes suite"
+    # 'Last, First' → 'First Last'
+    md = {m["key"]: m["value"] for m in item["metadata"] if m["key"] == "dc.language"}
+    assert md["dc.language"] == "French"
+    assert all(a["name"] and a["misc"] == "" for a in d["authors"])
+    # tags lowered and ';'-split
+    assert all(t == t.lower() for t in d["tags"])
+    # description = the abstract whose detected language matches dc.language
+    assert r["description"].startswith("Dans la recherche")
+
+
+def test_oapen_unauthorized_license_dead_letter(spark):
+    from welearn_datastack_spark.extraction.oapen import extract_oapen
+
+    item = {
+        "name": "X",
+        "handle": "h/1",
+        "bitstreams": [
+            {"bundleName": "ORIGINAL", "code": "All rights reserved", "retrieveLink": "/x"}
+        ],
+        "metadata": [],
+    }
+    df = spark.createDataFrame(
+        [(json.dumps(item), "c")], "payload string, content string"
+    )
+    (r,) = extract_oapen(df, content_text_col="content").collect()
+    assert "UnauthorizedLicense" in r["error_info"]
