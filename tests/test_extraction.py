@@ -887,3 +887,81 @@ def test_oapen_unauthorized_license_dead_letter(spark):
     )
     (r,) = extract_oapen(df, content_text_col="content").collect()
     assert "UnauthorizedLicense" in r["error_info"]
+
+
+# ----------------------------------------------------------------- FAO
+
+
+def _fao_item(**overrides):
+    """The reference's own test item (test_fao_open_knowledge.py:33-100)."""
+    md = {
+        "dc.rights.license": [{"value": "CC-BY-4.0"}],
+        "dc.contributor.author": [{"value": "John Doe;Jane Smith"}],
+        "dc.description.abstract": [{"value": "A description."}],
+        "dc.identifier.doi": [{"value": "10.1234/fao.5678"}],
+        "dc.date.available": [{"value": "2023-01-01T00:00:00Z"}],
+        "dc.date.lastModified": [{"value": "2023-01-02T00:00:00Z"}],
+        "fao.taxonomy.type": [{"value": "Report"}],
+    }
+    md.update(overrides.pop("metadata", {}))
+    return {
+        "uuid": "abcd-1234",
+        "name": "FAO Document Title",
+        "withdrawn": False,
+        "metadata": md,
+    } | overrides
+
+
+def test_fao_extraction_parity(spark):
+    from welearn_datastack_spark.extraction.fao import extract_fao
+
+    df = spark.createDataFrame(
+        [(json.dumps(_fao_item()), "PDF  body\ttext")], "payload string, pdf string"
+    )
+    (r,) = extract_fao(df, pdf_text_col="pdf").collect()
+    assert r["error_info"] is None, r["error_info"]
+    assert r["title"] == "FAO Document Title"
+    assert r["description"] == "A description."
+    assert r["full_content"] == "PDF body text"  # clean_text collapse
+    d = json.loads(r["details_json"])
+    assert d["license_url"] == "https://creativecommons.org/licenses/by/4.0/"
+    # ';'-split authors (ref fao_open_knowledge.py:123-141)
+    assert d["authors"] == [
+        {"name": "John Doe", "misc": ""},
+        {"name": "Jane Smith", "misc": ""},
+    ]
+    assert d["doi"] == "10.1234/fao.5678"
+    assert d["type"] == "Report"
+    assert d["content_from_pdf"] is True
+    exp = dt.datetime(2023, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+    assert d["publication_date"] == exp
+
+
+def test_fao_gates(spark):
+    from welearn_datastack_spark.extraction.fao import extract_fao
+
+    rows = [
+        # ref test_fao:280-284 unauthorized license
+        (json.dumps(_fao_item(metadata={"dc.rights.license": [{"value": "NO-LICENSE"}]})), "PDF"),
+        (json.dumps(_fao_item(withdrawn=True)), "PDF"),
+        (json.dumps(_fao_item(metadata={"fao.embargo": [{"value": "Yes"}]})), "PDF"),
+        (json.dumps(_fao_item()), "   "),
+        (json.dumps(_fao_item(metadata={"dc.description.abstract": [{"value": " "}]})), "PDF"),
+    ]
+    df = spark.createDataFrame(rows, "payload string, pdf string")
+    out = [r["error_info"] for r in extract_fao(df, pdf_text_col="pdf").collect()]
+    assert "UnauthorizedLicense" in out[0]
+    assert "withdrawn" in out[1]
+    assert "embargo" in out[2]
+    assert "NoContent" in out[3]
+    assert "NoDescriptionFound" in out[4]
+
+
+def test_fao_sdg_number_quirk():
+    from welearn_datastack_spark.extraction.fao import extract_external_sdgs
+
+    # ref fao_open_knowledge.py:193-210: '07. x' → 7, '10. x' stays 10,
+    # non-digit skipped
+    assert extract_external_sdgs(
+        ["07. Affordable energy", "10. Reduced inequalities", "SDG thirteen", "4. Education"]
+    ) == [7, 10, 4]
