@@ -965,3 +965,72 @@ def test_fao_sdg_number_quirk():
     assert extract_external_sdgs(
         ["07. Affordable energy", "10. Reduced inequalities", "SDG thirteen", "4. Education"]
     ) == [7, 10, 4]
+
+
+# ----------------------------------------------------------- Pressbooks
+
+PB_CONTENT = REF_RES / "pb_chapters.json"
+PB_METADATA = REF_RES / "pb_chapter_5_metadata.json"
+
+
+def test_pressbooks_extraction_parity(spark):
+    from welearn_datastack_spark.extraction.pressbooks import extract_pressbooks
+
+    content = json.loads(PB_CONTENT.read_text())[0]
+    meta = json.loads(PB_METADATA.read_text())
+    df = spark.createDataFrame(
+        [
+            (
+                json.dumps(content),
+                json.dumps(meta),
+                "https://wtcs.pressbooks.pub/communications/?p=5",
+            )
+        ],
+        "payload string, metadata_payload string, url string",
+    )
+    (r,) = extract_pressbooks(df).collect()
+    assert r["error_info"] is None, r["error_info"]
+    # composed title: 'book - element' (ref pressbooks.py:221-236)
+    assert r["title"] == f"{meta['isPartOf']} - {meta['name']}"
+    assert r["full_content"]
+    assert "<h1" not in r["full_content"]  # tags stripped by clean_text
+    # description = first three sentences of the cleaned content
+    assert r["full_content"].startswith(r["description"].split(".")[0])
+    d = json.loads(r["details_json"])
+    assert d["license"].startswith("https://creativecommons.org/")
+    assert d["authors"] == [{"name": "Jane Doe", "misc": None}]
+    assert d["editors"] == [{"name": "John Smith"}]
+    assert d["publisher"] == "WisTech Open"
+    # datePublished fallback (no date_gmt in the /metadata payload)
+    import datetime as dtm
+
+    assert d["publication_date"] == dtm.datetime(
+        2025, 6, 30, tzinfo=dtm.timezone.utc
+    ).timestamp()
+    assert d["partOf"]["element"] == "https://wtcs.pressbooks.pub/communications/"
+
+
+def test_pressbooks_url_helpers():
+    from welearn_datastack_spark.extraction.pressbooks import (
+        book_main_url,
+        post_id_from_url,
+        pressbook_id,
+    )
+
+    u = "https://x.pressbooks.pub/book/?p=42"
+    assert book_main_url(u) == "https://x.pressbooks.pub/book/"
+    assert post_id_from_url(u) == "42"
+    assert pressbook_id("https://x.pressbooks.pub/book/", 42) == "https://x.pressbooks.pub/book/?p=42"
+
+
+def test_pressbooks_unauthorized_license(spark):
+    from welearn_datastack_spark.extraction.pressbooks import extract_pressbooks
+
+    meta = json.loads(PB_METADATA.read_text())
+    meta["license"] = {"url": "https://example.org/closed"}
+    df = spark.createDataFrame(
+        [(json.dumps({"content": {"raw": "x"}}), json.dumps(meta), "u")],
+        "payload string, metadata_payload string, url string",
+    )
+    (r,) = extract_pressbooks(df).collect()
+    assert "UnauthorizedLicense" in r["error_info"]
