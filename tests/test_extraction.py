@@ -1128,3 +1128,55 @@ def test_notre_environnement_no_content_dead_letter(spark):
     )
     (r,) = extract_notre_environnement(df).collect()
     assert "NoContent" in r["error_info"]
+
+
+# ---------------------------------------------------------- UNCCeLearn
+
+UNCC_FIXTURE = REF_RES / "unccelearn_course.html"
+
+
+def test_unccelearn_extraction_parity(spark):
+    from welearn_datastack_spark.extraction.unccelearn import extract_unccelearn
+
+    df = spark.createDataFrame(
+        [("https://unccelearn.org/course/x", UNCC_FIXTURE.read_text(), "SYLLABUS PDF")],
+        "url string, payload string, pdf string",
+    )
+    (r,) = extract_unccelearn(df, pdf_text_col="pdf").collect()
+    assert r["error_info"] is None, r["error_info"]
+    assert r["title"].startswith("Course: Intégration du changement climatique")
+    assert r["description"].startswith("Ce module développé")
+    assert r["full_content"] == "SYLLABUS PDF"
+    d = json.loads(r["details_json"])
+    # ref _get_details (:88-118) over the fixture's details div
+    assert d["theme"] == "climate change"
+    assert d["duration"] == 14400  # '4 hours'
+    assert d["certifying"] is True
+    assert d["course-type"] == "self-paced courses"
+    assert d["type"] == "MOOC"
+    assert d["content_from_pdf"] is True
+    assert d["image"].startswith("https://")
+    assert len(d["keywords"]) > 0
+
+
+def test_unccelearn_degraded_mode(spark):
+    """No syllabus PDF → description stands in (ref :199-206)."""
+    from welearn_datastack_spark.extraction.unccelearn import extract_unccelearn
+
+    df = spark.createDataFrame(
+        [("u", UNCC_FIXTURE.read_text())], "url string, payload string"
+    )
+    (r,) = extract_unccelearn(df).collect()
+    assert r["full_content"] == r["description"]
+    assert json.loads(r["details_json"])["content_from_pdf"] is False
+
+
+def test_unccelearn_duration_formats():
+    from welearn_datastack_spark.extraction.unccelearn import (
+        convert_duration_to_seconds,
+    )
+
+    # ref unccelearn.py:65-86
+    assert convert_duration_to_seconds("3 hours") == 10800
+    assert convert_duration_to_seconds("3,5 hours") == 12600
+    assert convert_duration_to_seconds("3-4 hours") == 12600
