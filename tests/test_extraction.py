@@ -1180,3 +1180,76 @@ def test_unccelearn_duration_formats():
     assert convert_duration_to_seconds("3 hours") == 10800
     assert convert_duration_to_seconds("3,5 hours") == 12600
     assert convert_duration_to_seconds("3-4 hours") == 12600
+
+
+# ---------------------------------------------------- OpenEdition Books
+
+OE_METS = REF_RES / "oe_mets_test.xml"
+OE_CHAPTER_HTML = REF_RES / "oe_book_chapter.html"
+
+
+def test_oe_books_book_parity(spark):
+    """Mirror of the reference's test_oe_books.py:110-157."""
+    from welearn_datastack_spark.extraction.oe_books import extract_oe_books
+
+    df = spark.createDataFrame(
+        [("https://books.openedition.org/ariadnaediciones/8043", OE_METS.read_text())],
+        "url string, mets_payload string",
+    )
+    (r,) = extract_oe_books(df, html_col=None).collect()
+    assert r["error_info"] is None, r["error_info"]
+    assert r["title"] == "A Southern Perspective on Development Studies"
+    d = json.loads(r["details_json"])
+    assert d["doi"] == "10.4000/books.ariadnaediciones.8043"
+    assert d["isbn"] == "978-956-6095-09-5"
+    assert d["authors"] == [{"name": "Carlos Mallorquin", "misc": ""}]
+    assert d["license"] == "https://creativecommons.org/licenses/by/4.0/"
+    assert d["publisher"] == "Ariadna Ediciones"
+    assert set(d) <= {
+        "doi", "isbn", "authors", "license", "publisher", "tags", "type",
+        "partOf", "publication_date",
+    }
+
+
+def test_oe_books_chapter_parity(spark):
+    """Mirror of the reference's test_oe_books.py:159-200."""
+    from welearn_datastack_spark.extraction.oe_books import extract_oe_books
+
+    df = spark.createDataFrame(
+        [
+            (
+                "https://books.openedition.org/ariadnaediciones/8068",
+                OE_METS.read_text(),
+                OE_CHAPTER_HTML.read_text(),
+            )
+        ],
+        "url string, mets_payload string, page_html string",
+    )
+    (r,) = extract_oe_books(df).collect()
+    assert r["error_info"] is None, r["error_info"]
+    assert r["title"] == "A Southern Perspective on Development Studies - Introduction"
+    d = json.loads(r["details_json"])
+    assert d["partOf"][0] == {
+        "element": "https://books.openedition.org/ariadnaediciones/8043",
+        "order": 0,
+    }
+    assert d["type"] == "chapter"
+    assert d["isbn"] == "978-956-6095-09-5"
+    assert d["authors"] == [{"name": "Carlos Mallorquin", "misc": ""}]
+    assert d["tags"] == [
+        "latin america", "social sciences", "thought", "sociology of development",
+    ]
+    # open-access + authorized license → real chapter body scraped
+    assert len(r["full_content"]) > 200
+    assert r["full_content"] != r["description"]
+
+
+def test_oe_books_unknown_type_dead_letter(spark):
+    from welearn_datastack_spark.extraction.oe_books import extract_oe_books
+
+    df = spark.createDataFrame(
+        [("https://books.openedition.org/x/1", "<mets:mets></mets:mets>")],
+        "url string, mets_payload string",
+    )
+    (r,) = extract_oe_books(df, html_col=None).collect()
+    assert "Resource type not recognized" in r["error_info"]
