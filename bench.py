@@ -61,6 +61,8 @@ HEADLINE = [
     "pmi_cooccurrence",
     "ngram_novelty",
     "embedding_dispersion",
+    "lsh_near_dup_pairs",
+    "pdf_header_footer_strip",
 ]
 
 

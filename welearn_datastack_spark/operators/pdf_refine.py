@@ -51,14 +51,15 @@ def detect_boilerplate_lines(
     """
     n_pages = pages.groupBy(doc_col).agg(F.count(F.lit(1)).alias("_n_pages"))
 
-    sides = []
+    # ONE pass over pages: every (side, pos) candidate of a page is an
+    # element of an inline array, exploded — a per-position unionAll
+    # would rescan the input 2k times
+    entries = []
     for side, idx in (("h", lambda p: F.lit(p)), ("f", lambda p: F.size(lines_col) - 1 - p)):
         for p in range(k):
-            i = idx(p)
-            line = F.get(F.col(lines_col), i)
-            sides.append(
-                pages.select(
-                    F.col(doc_col),
+            line = F.get(F.col(lines_col), idx(p))
+            entries.append(
+                F.struct(
                     F.lit(side).alias("side"),
                     F.lit(p).alias("pos"),
                     # a page shorter than 2k lines offers no candidate at
@@ -68,9 +69,9 @@ def detect_boilerplate_lines(
                     ).alias("norm"),
                 )
             )
-    cand = sides[0]
-    for s in sides[1:]:
-        cand = cand.unionAll(s)
+    cand = pages.select(
+        F.col(doc_col), F.explode(F.array(*entries)).alias("c")
+    ).select(doc_col, "c.side", "c.pos", "c.norm")
     cand = cand.filter(F.col("norm").isNotNull() & (F.col("norm") != ""))
 
     counts = cand.groupBy(doc_col, "side", "pos", "norm").agg(
