@@ -401,3 +401,94 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("dot") / (F.sqrt("nv") * F.sqrt("nc"))) + F.lit(5e-10), 4
         ).alias("avg_cos_to_centroid"),
     )
+
+
+def _lsh_topk_sql(k: int) -> str:
+    from .q_extra import _bucket_sql
+
+    return f"""
+    tagged AS (
+      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
+    ), lq AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM tagged WHERE vec_id < 10),
+    lc AS (SELECT vec_id AS c_id, embedding AS ce, bucket FROM tagged WHERE vec_id >= 10),
+    lsh_pairs AS (
+      SELECT lq.q_id, lc.c_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(lq.qe[i] AS DOUBLE) * CAST(lc.ce[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(lq.qe[i] AS DOUBLE) * CAST(lq.qe[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(lc.ce[i] AS DOUBLE) * CAST(lc.ce[i] AS DOUBLE))))), 6) AS cosine
+      FROM lq JOIN lc ON lc.bucket = lq.bucket
+    ),
+    lsh_top AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                             ORDER BY cosine DESC, c_id ASC) AS rnk
+        FROM lsh_pairs) WHERE rnk <= {k}
+    )"""
+
+
+@register(
+    "ann_recall_report",
+    _COSINE_CTE
+    + ","
+    + _lsh_topk_sql(3)
+    + """
+    , exact_top AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                             ORDER BY cosine DESC, c_id ASC) AS rnk
+        FROM pairs) WHERE rnk <= 3
+    )
+    SELECT e.q_id,
+           CAST(COUNT(*) AS INT) AS n_exact,
+           CAST(COUNT(l.c_id) AS INT) AS n_overlap,
+           ROUND(COUNT(l.c_id) / 3.0, 6) AS recall_at_3
+    FROM exact_top e
+    LEFT JOIN lsh_top l ON l.q_id = e.q_id AND l.c_id = e.c_id
+    GROUP BY e.q_id
+    """,
+    doc="ANN quality gate: recall@3 of the LSH sign-bucket path "
+    "against the exact brute-force top-3, per query — the measurement "
+    "that calibrates the planes-vs-recall dial before trading exact "
+    "search for the bucketed path at scale. Both engines compute BOTH "
+    "paths (shared plane literals), so the recall fractions are "
+    "value-checked, not just row-counted.",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+    from ..operators.topk import top_k_by
+    from .q_extra import _bucket_col
+
+    queries, corpus = _split(spark, sf_dir)
+    exact = brute_force_topk(queries, corpus.select("c_id", "embedding"), k=3).select(
+        "q_id", "c_id"
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+    lq = tagged.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    lc = tagged.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    lsh_pairs = lq.join(lc, on="bucket").select(
+        "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
+    )
+    lsh_top = top_k_by(lsh_pairs, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
+        "q_id", F.col("c_id").alias("l_c_id")
+    )
+
+    joined = exact.join(
+        lsh_top,
+        (exact.q_id == lsh_top.q_id) & (exact.c_id == lsh_top.l_c_id),
+        "left",
+    ).select(exact.q_id.alias("q_id"), "c_id", "l_c_id")
+    return joined.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_exact"),
+        F.count("l_c_id").cast("int").alias("n_overlap"),
+        F.round(F.count("l_c_id") / 3.0, 6).alias("recall_at_3"),
+    )
