@@ -63,3 +63,52 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan, plan[:500]
     # pruned read returns exactly the en rows
     assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from welearn_datastack_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a int, b int")
+    (r,) = df.select(zorder_key(F.col("a"), F.col("b"), bits=4).alias("z")).collect()
+    # a bits at even positions, b bits at odd: a=101, b=011
+    # z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
+    #   = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    assert r["z"] == 27
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Sorting by the z-key must shrink per-file min/max spans in BOTH
+    dimensions vs a single-column sort — the property that lets
+    parquet stats prune scans for predicates on either column."""
+    import itertools
+
+    from welearn_datastack_spark.operators.zorder import zorder_key
+
+    n = 64
+    rows = [(a, b) for a, b in itertools.product(range(n), range(n))]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(1)
+
+    def avg_spans(out_dir, order_cols):
+        df.sortWithinPartitions(*order_cols).write.mode("overwrite").option(
+            "maxRecordsPerFile", 256
+        ).parquet(str(out_dir))
+        per_file = (
+            spark.read.parquet(str(out_dir))
+            .groupBy(F.input_file_name())
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+            .collect()[0]
+        )
+        return per_file["ax"], per_file["ay"]
+
+    ax_lin, ay_lin = avg_spans(tmp_path / "linear", [F.col("x"), F.col("y")])
+    ax_z, ay_z = avg_spans(
+        tmp_path / "zorder", [zorder_key(F.col("x"), F.col("y"), bits=8)]
+    )
+    # linear sort: x is tight but y spans the whole domain in every file
+    assert ay_lin >= n - 1
+    # z-order: BOTH dimensions bounded well below the full domain
+    assert ax_z < n / 2 and ay_z < n / 2

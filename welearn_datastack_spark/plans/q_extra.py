@@ -1165,3 +1165,33 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.30)
     )
+
+
+from ..operators.zorder import zorder_key_sql as _zorder_key_sql  # noqa: E402
+
+
+@register(
+    "zorder_clustering_key",
+    f"""
+    SELECT event_id,
+           {_zorder_key_sql('user_id', 'trunc(value)', 16)} AS zkey
+    FROM events
+    """,
+    doc="Z-order (Morton) clustering key over (user_id, trunc(value)) "
+    "— the multi-dimensional sort key that keeps parquet min/max "
+    "stats selective along BOTH dimensions after "
+    "compact(sort_within_by=[zorder_key(...)]) (Delta OPTIMIZE "
+    "ZORDER analog, operators/zorder.py; no reference analog, 100 TB "
+    "extension). Pure JVM bit arithmetic, bit-identical in the "
+    "DuckDB oracle.",
+)
+def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(F.col("user_id"), F.floor(F.col("value")).cast("bigint"), bits=16).alias(
+            "zkey"
+        ),
+    )
