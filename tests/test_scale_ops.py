@@ -112,3 +112,51 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     assert ay_lin >= n - 1
     # z-order: BOTH dimensions bounded well below the full domain
     assert ax_z < n / 2 and ay_z < n / 2
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime semi-join bloom pruning: when a selective dim filter
+    feeds a shuffle join, Spark injects bloom_filter_agg on the dim
+    side and BloomFilterMightContain on the fact scan — at 100 TB this
+    drops non-matching fact rows AT THE SCAN, before the shuffle. The
+    size thresholds exist only to force the big-join shape on sf-scale
+    local data; correctness of the filtered join is asserted against
+    the unfiltered plan's result."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+        n_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    n_plain = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n_bloom == n_plain
