@@ -80,12 +80,16 @@ def _author_structs(name_parts: Column) -> Column:
 
 
 def extract_world_bank_okr(
-    responses: DataFrame, payload_col: str = "payload"
+    responses: DataFrame,
+    payload_col: str = "payload",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """OAI GetRecord METS payloads (one per row) → extracted rows."""
+    """OAI GetRecord METS payloads (one per row) → extracted rows.
+    ``keep_cols`` pass through unchanged (ids, request metadata)."""
     x = F.col(payload_col)
 
     staged = responses.select(
+        *[F.col(c) for c in (keep_cols or [])],
         _first_tag(x, "mods:title").alias("_title"),
         _first_tag(x, "mods:abstract").alias("_abstract"),
         _first_tag(x, "mods:accessCondition").alias("_access"),
@@ -138,6 +142,7 @@ def extract_world_bank_okr(
 
     ok = error.isNull()
     return staged.select(
+        *[F.col(c) for c in (keep_cols or [])],
         F.when(ok, F.col("_uri")).alias("url"),
         F.when(ok, F.col("_title")).alias("title"),
         F.when(ok, F.col("_abstract")).alias("description"),

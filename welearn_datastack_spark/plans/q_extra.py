@@ -1195,3 +1195,151 @@ def zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zkey"
         ),
     )
+
+
+@register(
+    "hal_extraction_roundtrip",
+    r"""
+    SELECT 'hal-' || doc_id AS hal_id,
+           CASE WHEN text = 'absent' THEN NULL
+                ELSE 'https://hal.science/hal-' || doc_id END AS url,
+           CASE WHEN text = 'absent' THEN NULL ELSE 'T' || doc_id END AS title,
+           CASE WHEN text = 'absent' THEN NULL
+                ELSE split_part(coalesce(text, ''), '.', 1) END AS description,
+           CASE WHEN text = 'absent' THEN NULL
+                ELSE CAST(length(coalesce(text, '')) AS INT) END AS n_content,
+           CASE WHEN text = 'absent' THEN NULL
+                ELSE CASE doc_id % 4 WHEN 0 THEN 'article'
+                                     WHEN 1 THEN 'communication'
+                                     WHEN 2 THEN 'thesis'
+                                     ELSE 'UNDEFINED' END END AS doc_type,
+           CASE WHEN text = 'absent' THEN NULL
+                ELSE CAST(1388534400 + (doc_id % 9) * 86400 AS DOUBLE) END
+             AS publication_ts,
+           CASE WHEN text = 'absent' THEN NULL ELSE source END AS author0,
+           CASE WHEN text = 'absent' THEN 'NoContent: content is absent' END
+             AS error_info
+    FROM documents
+    """,
+    doc="Extraction under the driver gate: per document a real HAL API "
+    "response is SYNTHESIZED with to_json (halId/title/abstract="
+    "text/docType cycling/date/author=source), run through the actual "
+    "extract_hal plugin (extraction/hal.py — from_json, type lookup, "
+    "date fold, author structs, dead-letter rules), and the flattened "
+    "output is value-hashed against an oracle that states the "
+    "reference field-mapping semantics directly — including the "
+    "'absent'-abstract NoContent dead-letter.",
+)
+def hal_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extraction.hal import extract_hal
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_type = F.element_at(
+        F.array(F.lit("ART"), F.lit("COMM"), F.lit("THESE"), F.lit("XYZ")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    pub_date = F.concat(
+        F.lit("2014-01-0"), (F.col("doc_id") % 9 + 1).cast("string"), F.lit("T00:00:00Z")
+    )
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.col("doc_id").cast("string").alias("docid"),
+                        F.concat(F.lit("hal-"), F.col("doc_id")).alias("halId_s"),
+                        F.array(F.concat(F.lit("T"), F.col("doc_id"))).alias("title_s"),
+                        F.array(F.col("text")).alias("abstract_s"),
+                        doc_type.alias("docType_s"),
+                        pub_date.alias("publicationDate_tdate"),
+                        F.array(F.col("source")).alias("authFullName_s"),
+                    )
+                ).alias("docs")
+            ).alias("response")
+        )
+    )
+    out = extract_hal(docs.select(payload.alias("payload")))
+    return out.select(
+        "hal_id",
+        "url",
+        "title",
+        "description",
+        F.length(F.col("full_content")).cast("int").alias("n_content"),
+        F.col("details.type").alias("doc_type"),
+        F.col("details.publication_date").alias("publication_ts"),
+        F.col("details.authors")[0]["name"].alias("author0"),
+        "error_info",
+    )
+
+
+@register(
+    "world_bank_extraction_roundtrip",
+    r"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 2
+                THEN 'UnauthorizedLicense: https://creativecommons.org/licenses/by-nc/4.0/'
+           END AS error_info,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE 'https://hdl.handle.net/10986/' || doc_id END AS url,
+           CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 'T' || doc_id END AS title,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE coalesce(text, '') END AS description,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE CASE WHEN doc_id % 3 = 0
+                     THEN 'https://creativecommons.org/licenses/by/4.0/'
+                     ELSE 'https://creativecommons.org/licenses/by/3.0/igo/' END
+           END AS licence,
+           CASE WHEN doc_id % 3 = 2 THEN NULL
+                ELSE 'John ' || coalesce(source, '') END AS author0,
+           CASE WHEN doc_id % 3 = 2 THEN NULL ELSE lower(coalesce(lang, '')) END
+             AS topic0
+    FROM documents
+    """,
+    doc="Extraction under the driver gate #2: a METS/MODS OAI record "
+    "is synthesized per document (title/abstract=text/author "
+    "'source, John'/topic=lang/uri/accessCondition cycling CC BY 4.0 "
+    "| CC BY 3.0 IGO | CC BY-NC 4.0), run through the real "
+    "extract_world_bank_okr (regex field extraction, license "
+    "normalization + allow-list gate, 'Last, First' author fold), "
+    "and value-hashed against an oracle stating the reference "
+    "semantics — the CC BY-NC third of documents must dead-letter "
+    "with UnauthorizedLicense on BOTH engines.",
+)
+def world_bank_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extraction.world_bank_okr import extract_world_bank_okr
+
+    docs = load_table(spark, sf_dir, "documents")
+    access = F.element_at(
+        F.array(F.lit("CC BY 4.0"), F.lit("CC BY 3.0 IGO"), F.lit("CC BY-NC 4.0")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    xml = F.concat(
+        F.lit("<mets><mods:title>T"),
+        F.col("doc_id"),
+        F.lit("</mods:title><mods:abstract>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</mods:abstract><mods:accessCondition>"),
+        access,
+        F.lit("</mods:accessCondition><mods:namePart>"),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit(", John</mods:namePart><mods:topic>"),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit('</mods:topic><mods:identifier type="uri">'),
+        F.lit("https://hdl.handle.net/10986/"),
+        F.col("doc_id"),
+        F.lit("</mods:identifier></mets>"),
+    )
+    out = extract_world_bank_okr(
+        docs.select(F.col("doc_id"), xml.alias("payload")),
+        keep_cols=["doc_id"],
+    )
+    return out.select(
+        "doc_id",
+        "error_info",
+        "url",
+        "title",
+        "description",
+        F.col("details.licence").alias("licence"),
+        F.col("details.authors")[0]["name"].alias("author0"),
+        F.col("details.topics")[0]["name"].alias("topic0"),
+    )
