@@ -1343,3 +1343,78 @@ def world_bank_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("details.authors")[0]["name"].alias("author0"),
         F.col("details.topics")[0]["name"].alias("topic0"),
     )
+
+
+@register(
+    "ted_extraction_roundtrip",
+    r"""
+    SELECT 'https://www.ted.com/talks/t' || doc_id AS url,
+           'T' || doc_id AS title,
+           split_part(coalesce(text, ''), '.', 1) AS description,
+           trim(trim(regexp_replace(coalesce(text, ''), '[\n\t\r]', '', 'g')) ||
+                CASE WHEN doc_id % 3 = 0 THEN '' ELSE ' extra cue' END) AS full_content,
+           CAST(doc_id * 7 AS VARCHAR) AS duration,
+           lower(coalesce(lang, '')) AS lang,
+           CAST(1502375863 AS DOUBLE) AS publication_ts
+    FROM documents
+    """,
+    doc="Extraction under the driver gate #3: a TED GraphQL response "
+    "is synthesized per document (title/description=first sentence/"
+    "transcript cues = [text, '(Applause)', maybe 'extra cue']) and "
+    "run through the real extract_ted plugin — the oracle proves the "
+    "prohibited-cue drop ('(Applause)' never reaches content), the "
+    "space-joined cue concat with backline strip, the duration "
+    "stringification, and the UTC publishedAt instant cross-engine.",
+)
+def ted_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extraction.ted import extract_ted
+
+    docs = load_table(spark, sf_dir, "documents")
+    cue2 = F.when(F.col("doc_id") % 3 == 0, F.lit("(Applause)")).otherwise(
+        F.lit("extra cue")
+    )
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\.")[0].alias(
+                        "description"
+                    ),
+                    F.lower(F.coalesce(F.col("lang"), F.lit(""))).alias(
+                        "internalLanguageCode"
+                    ),
+                    F.lit("Speaker").alias("presenterDisplayName"),
+                    (F.col("doc_id") * 7).alias("duration"),
+                    F.concat(F.lit("T"), F.col("doc_id")).alias("title"),
+                    F.lit("2017-08-10T14:37:43Z").alias("publishedAt"),
+                    F.concat(F.lit("https://www.ted.com/talks/t"), F.col("doc_id")).alias(
+                        "canonicalUrl"
+                    ),
+                    F.struct(F.lit("TEDx Talk").alias("name")).alias("type"),
+                ).alias("video"),
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.array(
+                                F.struct(
+                                    F.coalesce(F.col("text"), F.lit("")).alias("text")
+                                ),
+                                F.struct(F.lit("(Applause)").alias("text")),
+                                F.struct(cue2.alias("text")),
+                            ).alias("cues")
+                        )
+                    ).alias("paragraphs")
+                ).alias("translation"),
+            ).alias("data")
+        )
+    )
+    out = extract_ted(docs.select(payload.alias("payload")))
+    return out.select(
+        "url",
+        "title",
+        "description",
+        "full_content",
+        F.col("details.duration").alias("duration"),
+        "lang",
+        F.col("details.publication_date").alias("publication_ts"),
+    )
