@@ -222,29 +222,37 @@ def _dedup_first_occurrence(levels: Column) -> Column:
 
 
 def parse_open_alex_response(
-    responses: DataFrame, payload_col: str = "payload"
+    responses: DataFrame,
+    payload_col: str = "payload",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One row per works-API response → one row per work."""
+    """One row per works-API response → one row per work.
+    ``keep_cols`` ride along through the explode."""
     parsed = responses.withColumn(
         "_parsed", F.from_json(F.col(payload_col), OPEN_ALEX_RESPONSE_SCHEMA)
     )
-    return parsed.select(F.explode("_parsed.results").alias("w"))
+    return parsed.select(
+        F.explode("_parsed.results").alias("w"), *[F.col(c) for c in (keep_cols or [])]
+    )
 
 
 def extract_open_alex(
     responses: DataFrame,
     payload_col: str = "payload",
     pdf_text_col: str | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """OpenAlex works-API responses → extracted WeLearn rows.
 
     Gate order matches the reference (:180-182): publisher →
     open-access → license; a failed gate dead-letters the row with
     the reference's exception name in ``error_info``.
+    ``keep_cols`` pass through the explode unchanged.
     """
     from .constants import AUTHORIZED_LICENSES
 
-    works = parse_open_alex_response(responses, payload_col)
+    keep = list(keep_cols or [])
+    works = parse_open_alex_response(responses, payload_col, keep_cols=keep)
     w = F.col("w")
 
     # stage heavy array expressions as their own projections — each
@@ -253,6 +261,7 @@ def extract_open_alex(
     # operators/dedup.py and the _dedup_first_occurrence note)
     pdf_text = F.col(pdf_text_col) if pdf_text_col else F.lit(None).cast("string")
     staged = works.select(
+        *[F.col(c) for c in keep],
         w.alias("w"),
         pdf_text.alias("_pdf_text"),
         _host_ids(w["locations"]).alias("_host_ids"),
@@ -321,6 +330,7 @@ def extract_open_alex(
 
     ok = F.col("_error").isNull()
     return staged.select(
+        *[F.col(c) for c in keep],
         F.when(ok, w["ids"]["openalex"]).alias("url"),
         F.when(ok, w["title"]).alias("title"),
         F.when(ok, desc).alias("description"),

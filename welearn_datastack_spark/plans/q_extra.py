@@ -1418,3 +1418,147 @@ def ted_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("details.publication_date").alias("publication_ts"),
     )
+
+
+@register(
+    "open_alex_extraction_roundtrip",
+    r"""
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 3 THEN 'UnauthorizedPublisher'
+             WHEN 1 THEN 'ClosedAccessContent'
+             WHEN 2 THEN 'UnauthorizedLicense: https://creativecommons.org/licenses/by-nc/4.0/'
+           END AS error_info,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'https://openalex.org/W' || doc_id END AS url,
+           CASE WHEN doc_id % 4 = 0 THEN 'T' || doc_id END AS title,
+           CASE WHEN doc_id % 4 = 0 THEN '10.5555/' || doc_id END AS doi,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'https://creativecommons.org/licenses/by/4.0/' END AS license_url,
+           CASE WHEN doc_id % 4 = 0 THEN coalesce(source, '') END AS publisher,
+           CASE WHEN doc_id % 4 = 0
+                THEN CAST(1704067200 + (doc_id % 28) * 86400 AS BIGINT) END AS pub_ts,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'D' || doc_id || ',F' || doc_id || ',SF' || doc_id || ',T' || doc_id
+           END AS topic_ids,
+           CASE WHEN doc_id % 4 = 0 THEN 'domain,field,subfield,topic' END AS topic_depths,
+           CASE WHEN doc_id % 4 = 0 THEN coalesce(lang, '') END AS author0
+    FROM documents
+    """,
+    doc="Extraction under the driver gate #4 (OpenAlex): synthesized "
+    "works cycle through the reference's full gate matrix — authorized "
+    "cc-by / closed access / unauthorized cc-by-nc / blocked publisher "
+    "(host lineage P4310321074) — through the real extract_open_alex "
+    "(publisher->access->license gate ORDER, cc URL normalization, "
+    "doi strip, UTC date, 4-level topic hierarchy fold). The oracle "
+    "states which quarter of documents dead-letters with which "
+    "exception and the exact extracted fields for the admitted "
+    "quarter.",
+)
+def open_alex_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extraction.open_alex import extract_open_alex
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    is_oa = m != 1
+    license_slug = F.when(m == 2, F.lit("cc-by-nc")).otherwise(F.lit("cc-by"))
+    lineage = F.when(
+        m == 3, F.array(F.lit("https://openalex.org/P4310321074"))
+    ).otherwise(F.array(F.lit("https://openalex.org/P999")))
+    pub_date = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 28).cast("int")),
+        "yyyy-MM-dd",
+    )
+
+    level = lambda p: F.struct(  # noqa: E731
+        F.concat(F.lit(p), F.col("doc_id")).alias("id"),
+        F.concat(F.lit(p), F.lit("name"), F.col("doc_id")).alias("display_name"),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("T"), F.col("doc_id")).alias("title"),
+                    F.struct(
+                        F.concat(F.lit("https://openalex.org/W"), F.col("doc_id")).alias(
+                            "openalex"
+                        ),
+                        F.concat(F.lit("https://doi.org/10.5555/"), F.col("doc_id")).alias(
+                            "doi"
+                        ),
+                    ).alias("ids"),
+                    pub_date.alias("publication_date"),
+                    F.struct(is_oa.alias("is_oa")).alias("open_access"),
+                    F.struct(
+                        F.lit(None).cast("string").alias("pdf_url"),
+                        license_slug.alias("license"),
+                        F.struct(
+                            F.coalesce(F.col("source"), F.lit("")).alias(
+                                "host_organization_name"
+                            ),
+                            F.lit("1234-5678").alias("issn_l"),
+                            F.array().cast("array<string>").alias(
+                                "host_organization_lineage"
+                            ),
+                        ).alias("source"),
+                    ).alias("best_oa_location"),
+                    F.lit("article").alias("type"),
+                    F.array(
+                        F.struct(
+                            F.concat(F.lit("T"), F.col("doc_id")).alias("id"),
+                            F.concat(F.lit("Tname"), F.col("doc_id")).alias(
+                                "display_name"
+                            ),
+                            level("SF").alias("subfield"),
+                            level("F").alias("field"),
+                            level("D").alias("domain"),
+                        )
+                    ).alias("topics"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.coalesce(F.col("lang"), F.lit("")).alias(
+                                    "display_name"
+                                )
+                            ).alias("author"),
+                            F.array().cast("array<string>").alias(
+                                "raw_affiliation_strings"
+                            ),
+                        )
+                    ).alias("authorships"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.lit(None).cast("string").alias(
+                                    "host_organization_name"
+                                ),
+                                F.lit(None).cast("string").alias("issn_l"),
+                                lineage.alias("host_organization_lineage"),
+                            ).alias("source")
+                        )
+                    ).alias("locations"),
+                ).alias("w")
+            ).alias("results")
+        )
+    )
+    out = extract_open_alex(
+        docs.select(F.col("doc_id"), payload.alias("payload")), keep_cols=["doc_id"]
+    )
+    topics = F.col("details.topics")
+    return out.select(
+        "doc_id",
+        "error_info",
+        "url",
+        "title",
+        F.col("external_id").alias("doi"),
+        F.col("details.license_url").alias("license_url"),
+        F.col("details.publisher").alias("publisher"),
+        F.col("details.publication_date").alias("pub_ts"),
+        F.array_join(F.transform(topics, lambda t: t["external_id"]), ",").alias(
+            "topic_ids"
+        ),
+        F.array_join(
+            F.transform(topics, lambda t: t["external_depth_name"]), ","
+        ).alias("topic_depths"),
+        F.col("details.authors")[0]["name"].alias("author0"),
+    )
