@@ -1562,3 +1562,112 @@ def open_alex_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("topic_depths"),
         F.col("details.authors")[0]["name"].alias("author0"),
     )
+
+
+@register(
+    "uved_extraction_roundtrip",
+    r"""
+    SELECT doc_id,
+           CASE WHEN coalesce(text, '') = ''
+                  THEN 'NoDescriptionFound'
+                WHEN doc_id % 2 = 1 THEN 'UnauthorizedState'
+           END AS error_info,
+           CASE WHEN coalesce(text, '') <> '' AND doc_id % 2 = 0
+                THEN 'labellisé' END AS state,
+           CASE WHEN coalesce(text, '') <> '' AND doc_id % 2 = 0
+                THEN CASE WHEN doc_id % 3 = 0
+                     THEN 'https://creativecommons.org/licenses/by-sa/4.0/'
+                     ELSE 'https://creativecommons.org/licenses/by/4.0/' END
+           END AS licence,
+           CASE WHEN coalesce(text, '') <> '' AND doc_id % 2 = 0
+                THEN 665 END AS isced_level,
+           CASE WHEN coalesce(text, '') <> '' AND doc_id % 2 = 0
+                THEN lower(coalesce(source, '')) END AS tag0,
+           CASE WHEN coalesce(text, '') <> '' AND doc_id % 2 = 0
+                THEN coalesce(lang, '') || ' X' END AS author0,
+           CASE WHEN coalesce(text, '') <> '' AND doc_id % 2 = 0
+                THEN CAST(1743724800 AS DOUBLE) END AS pub_ts,
+           CASE WHEN coalesce(text, '') <> '' AND doc_id % 2 = 0
+                THEN TRUE END AS content_is_description
+    FROM documents
+    """,
+    doc="Extraction under the driver gate #5 (UVED): synthesized "
+    "member-API items through the real extract_uved pandas-UDF plugin "
+    "— description-required and 'labellisé'-state gates (odd doc_ids "
+    "dead-letter), CC license assembled from category uids (uid 6 "
+    "adds ShareAlike for every third doc), Bac+3 → ISCED 665, "
+    "lowered keyword tags, contributor name join, and the "
+    "empty-transcription content fallback. Text-derived outputs are "
+    "BOOLEANS so the oracle never re-implements the HTML-strip "
+    "cleaner on adversarial text.",
+)
+def uved_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..extraction.uved import extract_uved
+
+    docs = load_table(spark, sf_dir, "documents")
+    state_cat = F.when(m_state := F.col("doc_id") % 2 == 0, F.lit("Labellisé")).otherwise(
+        F.lit("En cours")
+    )
+    _ = m_state
+    cats = F.array(
+        F.struct(
+            state_cat.alias("title"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(71)).otherwise(F.lit(72)).alias("uid"),
+            F.struct(F.lit("État").alias("title"), F.lit(70).alias("uid")).alias("parent"),
+        ),
+        F.struct(
+            F.lit("Bac+3").alias("title"),
+            F.lit(17).alias("uid"),
+            F.struct(F.lit("Niveau").alias("title"), F.lit(14).alias("uid")).alias(
+                "parent"
+            ),
+        ),
+        F.struct(
+            F.lit("Partage").alias("title"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(6)).otherwise(F.lit(999)).alias("uid"),
+            F.struct(F.lit("Licence").alias("title"), F.lit(5).alias("uid")).alias(
+                "parent"
+            ),
+        ),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("uid"),
+            F.concat(F.lit("T"), F.col("doc_id")).alias("title"),
+            F.coalesce(F.col("text"), F.lit("")).alias("description"),
+            F.lit("2025-04-04T00:00:00.000+00:00").alias("date"),
+            cats.alias("categories"),
+            F.array(
+                F.struct(F.coalesce(F.col("source"), F.lit("")).alias("title"))
+            ).alias("keywords"),
+            F.array(
+                F.struct(
+                    F.coalesce(F.col("lang"), F.lit("")).alias("firstName"),
+                    F.lit("X").alias("lastName"),
+                )
+            ).alias("contributor"),
+            F.struct(F.lit("UVED").alias("name")).alias("mainInstitution"),
+        )
+    )
+    out = extract_uved(
+        docs.select(F.col("doc_id").cast("string").alias("url"), payload.alias("payload"))
+    )
+    d = lambda path: F.get_json_object("details_json", path)  # noqa: E731
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.regexp_extract(F.coalesce("error_info", F.lit("")), r"(NoDescriptionFound|UnauthorizedState)", 1)
+        .cast("string")
+        .alias("_err_tag"),
+        d("$.state").alias("state"),
+        d("$.licence").alias("licence"),
+        d("$.levels[0].isced_level").cast("int").alias("isced_level"),
+        d("$.tags[0]").alias("tag0"),
+        d("$.authors[0].name").alias("author0"),
+        d("$.publication_date").cast("double").alias("pub_ts"),
+        F.when(
+            F.col("error_info").isNull(),
+            F.col("full_content").eqNullSafe(F.col("description")),
+        ).alias("content_is_description"),
+    ).withColumn(
+        "error_info", F.nullif(F.col("_err_tag"), F.lit(""))
+    ).drop("_err_tag")
