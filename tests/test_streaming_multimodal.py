@@ -13,6 +13,7 @@ from welearn_datastack_spark.operators.multimodal import (
     decode_media,
     sample_frames,
 )
+from welearn_datastack_spark.sources.tables import normalize_ts
 from welearn_datastack_spark.streaming.state_machine import (
     latest_state_batch_equivalent,
     stream_latest_state,
@@ -62,9 +63,7 @@ def test_stream_windowed_counts_totals(spark, tmp_path, events_dir):
     total = spark.read.parquet(out).agg(F.sum("n").alias("t")).collect()[0]["t"]
     # append mode emits only CLOSED windows (window end ≤ watermark =
     # max event time): the in-flight final day is correctly withheld
-    ev = spark.read.parquet(events_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = normalize_ts(spark.read.parquet(events_dir))
     max_ts, = ev.agg(F.max("ts")).first()
     expected = ev.filter(
         F.date_add(F.date_trunc("day", "ts").cast("date"), 1).cast("timestamp") <= F.lit(max_ts)

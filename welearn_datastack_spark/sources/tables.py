@@ -32,18 +32,32 @@ TABLES = (
 )
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to a session-tz TIMESTAMP no
+    matter which physical encoding the parquet writer chose.
+
+    Testdata generations have used two encodings:
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+      with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
+      int64 nanos — convert to a timestamp (µs precision).
+    - parquet ``timestamp[us]`` with no tz: Spark reads TIMESTAMP_NTZ.
+      The session timezone is pinned to UTC (session.py), so casting
+      to TIMESTAMP preserves the wall-clock instant exactly.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright; with spark.sql.legacy.parquet.nanosAsLong
-        # it arrives as int64 nanos — convert to a proper timestamp (µs).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..sources.tables import normalize_ts
+
 STATE_SCHEMA = "last_event_id LONG, last_event_type STRING"
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -39,6 +41,17 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("last_event_type", T.StringType()),
     ]
 )
+
+
+def _read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Open the append-only event log as a stream with the file's OWN
+    schema (a batch read supplies it — streaming file sources require
+    an explicit schema), then normalize ``ts`` to TIMESTAMP. Hard-coding
+    the schema here is what broke when the testdata writer switched
+    encodings; reading it from the files absorbs either encoding."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    return normalize_ts(spark.readStream.schema(schema).parquet(events_path))
 
 
 def _update_latest(
@@ -71,12 +84,8 @@ def stream_latest_state(
     from ..session import ensure_self_on_executors
 
     ensure_self_on_executors(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(
-            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-        )
-        .parquet(events_path)
+        _read_event_stream(spark, events_path)
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_latest,
@@ -115,14 +124,7 @@ def stream_windowed_counts(
     """Event-time tumbling-window counts per event_type with a
     watermark bounding late data — the streaming twin of the hourly
     cron aggregation cadence (R1)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.readStream.schema(
-            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-        )
-        .parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _read_event_stream(spark, events_path)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -146,7 +148,7 @@ def latest_state_batch_equivalent(spark: SparkSession, events_path: str) -> Data
     from ..operators.state_log import latest_state
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(events_path)
+    ev = normalize_ts(spark.read.parquet(events_path))
     return latest_state(ev, keep_cols=("event_type",)).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -169,14 +171,7 @@ def stream_dedup_urls(
     the in-horizon key set in state — bounded memory at 100 TB/day
     ingest, because keys age out with the watermark instead of
     accumulating forever (what plain dropDuplicates would do)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.readStream.schema(
-            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-        )
-        .parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _read_event_stream(spark, events_path)
     deduped = (
         events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -207,18 +202,11 @@ def stream_enrich_join(
     restarting the query). The static side is broadcast — the stream
     never shuffles for the join, the same plan shape the batch
     `model_resolution` uses."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dim = spark.createDataFrame(
         dim_rows or [("click", "web"), ("view", "web"), ("purchase", "commerce")],
         "event_type STRING, channel STRING",
     )
-    events = (
-        spark.readStream.schema(
-            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-        )
-        .parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = _read_event_stream(spark, events_path)
     enriched = events.join(F.broadcast(dim), on="event_type", how="left").select(
         "event_id", "user_id", "event_type", F.coalesce("channel", F.lit("other")).alias("channel")
     )
