@@ -314,31 +314,29 @@ def simhash_near_pairs(
         "band_key",
         F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit(mask)),
     )
-    members = (
-        banded.groupBy("band", "band_key")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("m_id"), F.col("simhash").alias("m_h")))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") > 1)
-    )
-    pairs = members.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(ms) - 2),"
-                " i -> transform(sequence(i + 1, size(ms) - 1),"
-                " j -> struct(ms[i].m_id AS a_id, ms[j].m_id AS b_id,"
-                "             ms[i].m_h AS ha, ms[j].m_h AS hb))))"
-            )
-        ).alias("p")
-    ).select("p.a_id", "p.b_id", "p.ha", "p.hb")
+    # Bucket-local self-join: one shuffle on (band, band_key), pairs
+    # generated only within a bucket. A qualifying pair shares every
+    # band where its XOR's band value is zero — emitting it only from
+    # the FIRST such band makes each pair globally unique by
+    # construction, so no dropDuplicates re-shuffle of the (large,
+    # near-quadratic) pair stream is needed, and the hamming cut is
+    # applied inside the join before anything else moves.
+    a = banded.select("band", "band_key", F.col(id_col).alias("a_id"), F.col("simhash").alias("ha"))
+    b = banded.select("band", "band_key", F.col(id_col).alias("b_id"), F.col("simhash").alias("hb"))
     return (
-        pairs.dropDuplicates(["a_id", "b_id"])
-        .select(
-            "a_id",
-            "b_id",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
-        )
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("x", F.col("ha").bitwiseXOR(F.col("hb")))
+        .withColumn("hamming", F.bit_count("x"))
         .filter(F.col("hamming") <= max_hamming)
+        .filter(
+            # no earlier band bb < band also has a zero band value
+            # (sequence(0, band-1) would go DESCENDING for band=0,
+            # so range over all bands and gate on bb >= band instead)
+            F.expr(
+                f"forall(sequence(0, {n_bands - 1}),"
+                f" bb -> bb >= band OR (shiftright(x, bb * {width}) & {mask}) != 0)"
+            )
+        )
+        .select("a_id", "b_id", "hamming")
     )
