@@ -59,6 +59,15 @@ def _load_groups() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import q_curation, q_dedup, q_extra, q_kernel, q_ml, q_relational, q_text  # noqa: F401
+    from . import (  # noqa: F401
+        q_curation,
+        q_dedup,
+        q_extra,
+        q_extraction,
+        q_kernel,
+        q_ml,
+        q_relational,
+        q_text,
+    )
 
     _LOADED = True
