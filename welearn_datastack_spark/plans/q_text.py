@@ -741,3 +741,55 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "html_unescape_roundtrip",
+    """
+    SELECT doc_id,
+           'T&A <tag> "q" été ' || chr(160) || 'x ' || text AS unescaped
+    FROM documents
+    """,
+    doc="F2 (entity-unescape half) under the driver gate: a payload "
+    "with named, numeric, and nbsp entities is synthesized per "
+    "document, pushed through the html_unescape pandas UDF "
+    "(functions/udfs.py — Python html.unescape, the part Catalyst "
+    "cannot express; ref modules/scraping_utils.py:40-56), and "
+    "value-hashed against an oracle holding the already-unescaped "
+    "string.",
+)
+def html_unescape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import html_unescape
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("T&amp;A &lt;tag&gt; &quot;q&quot; &eacute;t&#233; &nbsp;x "),
+        F.col("text"),
+    )
+    return docs.select("doc_id", html_unescape(payload).alias("unescaped"))
+
+
+@register(
+    "nfc_normalize_roundtrip",
+    """
+    SELECT doc_id,
+           'Café ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS normalized
+    FROM documents
+    """,
+    doc="F8 under the driver gate: a payload with an NFD-decomposed "
+    "e+combining-acute, an &nbsp; entity, and ragged whitespace is "
+    "synthesized per document and pushed through the nfc_normalize "
+    "pandas UDF (functions/udfs.py — unicodedata NFC + nbsp fold + "
+    "collapse; ref scraping_utils.py:186-195). The oracle holds the "
+    "NFC-composed result, so the hash only matches if the UDF really "
+    "recomposed the code points.",
+)
+def nfc_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import nfc_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    # "Cafe" + U+0301 combining acute (NFD) — NFC must fold to U+00E9
+    payload = F.concat(
+        F.lit("  Cafe\u0301&nbsp;&nbsp; "), F.col("text"), F.lit("  ")
+    )
+    return docs.select("doc_id", nfc_normalize(payload).alias("normalized"))
