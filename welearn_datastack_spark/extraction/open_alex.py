@@ -120,11 +120,16 @@ OPEN_ALEX_RESPONSE_SCHEMA = T.StructType(
 _USELESS_FIRST_WORDS = ["background", "abstract", "introduction"]
 
 
-def remove_useless_first_word(col: Column, rounds: int = 4) -> Column:
+def remove_useless_first_word(col: Column, rounds: int = 1) -> Column:
     """Strip leading 'Background'/'Abstract'/'Introduction' tokens when
-    the first two words are both capitalized (ref open_alex.py:144-175,
-    recursion unrolled — the stack of strippable prefixes is bounded
-    by the word list)."""
+    the first two words are both capitalized (ref open_alex.py:144-175).
+
+    One ROUND of the reference's recursion. Do NOT inline multiple
+    rounds into one expression: each round references the previous
+    round's tree ~6 times, so ``rounds`` compose multiplicatively
+    (~6^rounds nodes) and Catalyst analysis goes from milliseconds to
+    seconds. Callers stage rounds as separate projections instead
+    (see extract_open_alex), which keeps the tree linear in rounds."""
     out = col
     for _ in range(rounds):
         words = F.split(out, r"\s+")
@@ -266,12 +271,19 @@ def extract_open_alex(
         pdf_text.alias("_pdf_text"),
         _host_ids(w["locations"]).alias("_host_ids"),
         normalize_license(w["best_oa_location"]["license"]).alias("_license_url"),
-        remove_useless_first_word(
-            F.coalesce(inverted_abstract_to_text(w["abstract_inverted_index"]), F.lit(""))
+        F.coalesce(
+            inverted_abstract_to_text(w["abstract_inverted_index"]), F.lit("")
         ).alias("_desc"),
         _topic_levels(w["topics"]).alias("_topic_levels"),
         clean_doi(w["ids"]["doi"]).alias("_doi"),
     )
+    # the reference strips up to len(_USELESS_FIRST_WORDS)+1 leading
+    # tokens; one projection per round keeps the expression tree
+    # linear (see remove_useless_first_word docstring)
+    for _ in range(4):
+        staged = staged.withColumn(
+            "_desc", remove_useless_first_word(F.col("_desc"))
+        )
 
     bad_publisher = F.exists(
         F.col("_host_ids"), lambda h: F.upper(h).isin(*PUBLISHERS_TO_AVOID)

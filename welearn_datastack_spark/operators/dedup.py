@@ -300,7 +300,17 @@ def simhash_near_pairs(
     hamming filter is EXACT (not approximate) for
     ``max_hamming < n_bands``. Output (a_id, b_id, hamming), a_id <
     b_id. Same bucket-explosion shape as LSH candidates: one pass,
-    shuffle on the (band, band_key) bucket, work bucket-local."""
+    shuffle on the (band, band_key) bucket, work bucket-local.
+
+    Worst case is corpus-dependent, not plan-dependent: on a corpus
+    that is mostly near-duplicates (e.g. the synthetic word-soup
+    bench tables) one band value can hold most documents, and that
+    bucket's pair generation is inherently quadratic in its size —
+    the output itself is near-quadratic there, so no plan avoids the
+    work. On real corpora band values spread and buckets stay small;
+    if a production corpus develops hot buckets, sub-split them
+    (chunk members into s groups, pair chunk_i x chunk_j for i <= j)
+    before the join."""
     assert max_hamming < n_bands, "banding is only exact for max_hamming < n_bands"
     width = bits // n_bands
     mask = (1 << width) - 1
@@ -321,6 +331,16 @@ def simhash_near_pairs(
     # construction, so no dropDuplicates re-shuffle of the (large,
     # near-quadratic) pair stream is needed, and the hamming cut is
     # applied inside the join before anything else moves.
+    #
+    # The join INPUT is tiny in bytes but its OUTPUT is the near-
+    # quadratic pair stream — exactly the shape AQE's size-based
+    # partition coalescing mis-reads (it sees KBs of shuffle data and
+    # folds the CPU-heavy pair generation onto one core; measured 5x
+    # on the bench corpus). A user repartition is exempt from AQE
+    # coalescing, so pin the bucket distribution to the session's
+    # parallelism explicitly.
+    par = fingerprints.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(par, "band", "band_key")
     a = banded.select("band", "band_key", F.col(id_col).alias("a_id"), F.col("simhash").alias("ha"))
     b = banded.select("band", "band_key", F.col(id_col).alias("b_id"), F.col("simhash").alias("hb"))
     return (

@@ -1369,7 +1369,12 @@ def world_bank_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 def ted_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extraction.ted import extract_ted
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the testdata file is one row group (one split), which would run
+    # this CPU-heavy per-row map single-task; a real corpus scan has
+    # many splits and needs no such spread
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cue2 = F.when(F.col("doc_id") % 3 == 0, F.lit("(Applause)")).otherwise(
         F.lit("extra cue")
     )
@@ -1458,7 +1463,11 @@ def ted_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def open_alex_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..extraction.open_alex import extract_open_alex
 
-    docs = load_table(spark, sf_dir, "documents")
+    # single-row-group testdata file → spread the per-row map (see
+    # ted_extraction_roundtrip)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     m = F.col("doc_id") % 4
     is_oa = m != 1
     license_slug = F.when(m == 2, F.lit("cc-by-nc")).otherwise(F.lit("cc-by"))
