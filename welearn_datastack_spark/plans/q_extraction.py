@@ -60,6 +60,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN m IN (1,2) THEN NULL ELSE 'T' || doc_id END AS title,
            CASE WHEN m IN (1,2) THEN NULL
                 WHEN m = 3 THEN 'Consultez le texte intégral pour plus de détails.'
+                WHEN text = '' THEN 'See the full text for more details.'
                 ELSE ctext END AS description,
            CASE WHEN m IN (1,2) THEN NULL
                 ELSE CAST(length(text) + 4 AS INT) END AS n_content,
@@ -144,7 +145,7 @@ def unesdoc_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN m IN (2,3) THEN NULL ELSE 'T' || doc_id END AS title,
            CASE WHEN m IN (2,3) THEN NULL ELSE 'en' END AS lang,
            CASE WHEN m IN (2,3) THEN NULL
-                ELSE 'the ' || coalesce(text, '') END AS description,
+                ELSE 'The work ' || doc_id END AS description,
            CASE WHEN m IN (2,3) THEN NULL
                 WHEN m = 0 THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
                 ELSE text END AS full_content,
@@ -187,8 +188,12 @@ def oapen_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("TEXT").alias("bundleName"), F.lit(None).cast("string").alias("code")
     )
     bitstreams = F.when(m == 0, F.array(orig, txt)).otherwise(F.array(orig))
+    # the abstract is language-detected against dc.language; keep it
+    # text-independent so the marker-token vote (stub lingua) stays
+    # deterministic on any corpus — document text still exercises the
+    # content/clean_backline leg below
     abstract = F.when(m == 3, F.lit("le les et une dans est")).otherwise(
-        F.concat(F.lit("the "), F.coalesce(F.col("text"), F.lit("")))
+        F.concat(F.lit("The work "), F.col("doc_id"))
     )
 
     def kv(key, value):
@@ -246,23 +251,27 @@ def oapen_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fao_extraction_roundtrip",
     r"""
-    WITH c AS (SELECT *, doc_id % 6 AS m FROM documents)
-    SELECT CASE WHEN m = 0 THEN 'uuid-' || doc_id END AS external_id,
-           CASE WHEN m = 0 THEN 'T' || doc_id END AS title,
-           CASE WHEN m = 0
+    WITH c AS (
+      SELECT *, doc_id % 6 AS m,
+             m = 0 AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> '' AS ok
+      FROM documents
+    )
+    SELECT CASE WHEN ok THEN 'uuid-' || doc_id END AS external_id,
+           CASE WHEN ok THEN 'T' || doc_id END AS title,
+           CASE WHEN ok
                 THEN trim(regexp_replace(text, '\s+', ' ', 'g')) END AS description,
-           CASE WHEN m = 0
+           CASE WHEN ok
                 THEN 'PDF ' || trim(regexp_replace(text, '\s+', ' ', 'g')) END
              AS full_content,
-           CASE WHEN m = 0 THEN '10.4060/' || doc_id END AS doi,
-           CASE WHEN m = 0 THEN 'Report' END AS doc_type,
-           CASE WHEN m = 0
+           CASE WHEN ok THEN '10.4060/' || doc_id END AS doi,
+           CASE WHEN ok THEN 'Report' END AS doc_type,
+           CASE WHEN ok
                 THEN 'https://creativecommons.org/licenses/by/4.0/' END
              AS license_url,
-           CASE WHEN m = 0 THEN source END AS author0,
-           CASE WHEN m = 0 THEN 'John Doe' END AS author1,
-           CASE WHEN m = 0 THEN CAST(doc_id % 17 + 1 AS BIGINT) END AS sdg0,
-           CASE WHEN m = 0 THEN CAST(1672531200 AS DOUBLE) END AS pub_ts,
+           CASE WHEN ok THEN source END AS author0,
+           CASE WHEN ok THEN 'John Doe' END AS author1,
+           CASE WHEN ok THEN CAST(doc_id % 17 + 1 AS BIGINT) END AS sdg0,
+           CASE WHEN ok THEN CAST(1672531200 AS DOUBLE) END AS pub_ts,
            CASE WHEN m = 1 THEN 'ValueError: UnauthorizedLicense: License '
                   || '''https://creativecommons.org/licenses//license/'''
                   || ' is not authorized.'
@@ -272,7 +281,7 @@ def oapen_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'ValueError: UnauthorizedState: Document is under fao embargo.'
                 WHEN m = 4
                 THEN 'ValueError: NoContent: No content extracted from PDF.'
-                WHEN m = 5
+                WHEN m = 5 OR NOT ok
                 THEN 'ValueError: NoDescriptionFound: No description found.'
            END AS error_info
     FROM c
@@ -457,23 +466,31 @@ def pressbooks_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "oe_books_extraction_roundtrip",
     r"""
-    WITH c AS (SELECT *, doc_id % 3 AS m FROM documents)
+    WITH c AS (
+      SELECT *, doc_id % 3 AS m,
+             -- the regex XML walk strips the abstract's edges; an
+             -- all-whitespace abstract is a missing description
+             trim(text, ' ' || chr(9) || chr(10) || chr(13)) AS stext,
+             doc_id % 3 <> 2
+               AND trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> '' AS ok
+      FROM documents
+    )
     SELECT 'https://books.openedition.org/book/' || doc_id AS url,
-           CASE WHEN m = 2 THEN NULL ELSE 'T' || doc_id END AS title,
-           CASE WHEN m = 2 THEN NULL ELSE text END AS description,
-           CASE WHEN m = 2 THEN NULL ELSE text END AS full_content,
-           CASE WHEN m = 2 THEN NULL
-                ELSE 'https://creativecommons.org/licenses/by/4.0/' END AS licence,
-           CASE WHEN m = 2 THEN NULL ELSE 'John ' || source END AS author0,
-           CASE WHEN m = 2 THEN NULL ELSE '10.4000/' || doc_id END AS doi,
-           CASE WHEN m = 2 THEN NULL ELSE '978-' || doc_id END AS isbn,
-           CASE WHEN m = 2 THEN NULL ELSE 'alpha' END AS tag0,
-           CASE WHEN m = 2 THEN NULL
-                ELSE CAST(1672531200 AS BIGINT) END AS pub_ts,
-           CASE WHEN m = 2 THEN NULL ELSE 'OpenEdition' END AS publisher,
-           CASE WHEN m = 2 THEN NULL ELSE 'book' END AS rtype,
+           CASE WHEN ok THEN 'T' || doc_id END AS title,
+           CASE WHEN ok THEN stext END AS description,
+           CASE WHEN ok THEN stext END AS full_content,
+           CASE WHEN ok
+                THEN 'https://creativecommons.org/licenses/by/4.0/' END AS licence,
+           CASE WHEN ok THEN 'John ' || source END AS author0,
+           CASE WHEN ok THEN '10.4000/' || doc_id END AS doi,
+           CASE WHEN ok THEN '978-' || doc_id END AS isbn,
+           CASE WHEN ok THEN 'alpha' END AS tag0,
+           CASE WHEN ok THEN CAST(1672531200 AS BIGINT) END AS pub_ts,
+           CASE WHEN ok THEN 'OpenEdition' END AS publisher,
+           CASE WHEN ok THEN 'book' END AS rtype,
            CASE WHEN m = 2
                 THEN 'ValueError: Resource type not recognized: weird'
+                WHEN NOT ok THEN 'ValueError: No description found'
            END AS error_info
     FROM c
     """,
@@ -546,12 +563,19 @@ def oe_books_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "plos_extraction_roundtrip",
     r"""
-    WITH c AS (SELECT *, doc_id % 3 AS m FROM documents)
+    WITH c AS (
+      SELECT *, doc_id % 3 AS m,
+             -- clean_return_to_line: backlines REMOVED (not spaced),
+             -- then stripped
+             trim(regexp_replace(text, '[' || chr(10) || chr(9) || chr(13) || ']',
+                                 '', 'g')) AS ctext
+      FROM documents
+    )
     SELECT 'https://journals.plos.org/plosone/article?id=10.1371/journal.'
              || doc_id AS url,
            CASE WHEN m = 2 THEN NULL ELSE 'T' || doc_id END AS title,
-           CASE WHEN m = 2 THEN NULL ELSE text END AS description,
-           CASE WHEN m = 2 THEN NULL ELSE text END AS full_content,
+           CASE WHEN m = 2 THEN NULL ELSE ctext END AS description,
+           CASE WHEN m = 2 THEN NULL ELSE ctext END AS full_content,
            CASE WHEN m = 2 THEN NULL
                 ELSE '10.1371/journal.' || doc_id END AS external_id,
            CASE WHEN m = 2 THEN NULL ELSE 'DOI' END AS external_id_type,
@@ -661,7 +685,9 @@ def plos_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN m = 3 THEN NULL ELSE 'T' || doc_id END AS title,
            CASE WHEN m = 3 THEN NULL ELSE 'D' || doc_id END AS description,
            CASE WHEN m = 3 THEN NULL
-                ELSE trim(text) END AS full_content,
+                ELSE trim(regexp_replace(text,
+                          '[' || chr(10) || chr(9) || chr(13) || ']', '', 'g'))
+           END AS full_content,
            CASE WHEN m = 3 THEN NULL
                 ELSE '10.7717/peerj.' || doc_id END AS external_id,
            CASE WHEN m = 3 THEN NULL
@@ -747,7 +773,9 @@ def peerj_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'https://theconversation.com/article-' || doc_id AS url,
            CASE WHEN m = 3 THEN NULL ELSE 'T' || doc_id END AS title,
            CASE WHEN m = 3 THEN NULL ELSE 'D' || doc_id END AS description,
-           CASE WHEN m = 3 THEN NULL ELSE text END AS full_content,
+           CASE WHEN m = 3 THEN NULL
+                ELSE trim(text, ' ' || chr(9) || chr(10) || chr(13))
+           END AS full_content,
            CASE WHEN m = 3 THEN NULL ELSE 'fr' END AS lang,
            CASE WHEN m = 3 THEN NULL ELSE 'John ' || source END AS author0_name,
            CASE WHEN m = 3 THEN NULL ELSE 'Professor' END AS author0_misc,
@@ -1061,8 +1089,15 @@ def ird_le_mag_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT 'https://www.notre-environnement.gouv.fr/a-' || doc_id AS url,
            CASE WHEN m = 3 THEN NULL ELSE 'T ' || doc_id END AS title,
            CASE WHEN m = 3 THEN NULL ELSE 'D' || doc_id END AS description,
+           -- paragraph text is edge-stripped, backlines are REMOVED
+           -- (gluing), ' suite' appended, then whitespace-collapsed
            CASE WHEN m = 3 THEN NULL
-                ELSE trim(regexp_replace(text, '\s+', ' ', 'g')) || ' suite' END
+                ELSE trim(regexp_replace(
+                       regexp_replace(
+                         trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                         '[' || chr(10) || chr(9) || chr(13) || ']', '', 'g')
+                       || ' suite',
+                       '\s+', ' ', 'g')) END
              AS full_content,
            CASE WHEN m = 3 THEN NULL
                 ELSE CAST(1673740800 AS BIGINT) END AS pub_ts,

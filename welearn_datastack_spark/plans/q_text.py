@@ -773,7 +773,7 @@ def html_unescape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nfc_normalize_roundtrip",
     """
     SELECT doc_id,
-           'Café ' || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS normalized
+           trim('Café ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS normalized
     FROM documents
     """,
     doc="F8 under the driver gate: a payload with an NFD-decomposed "
