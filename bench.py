@@ -42,6 +42,7 @@ HEADLINE = [
     "range_join_nearby_events",
     "salted_aggregation",
     "cosine_topk",
+    "cosine_topk_blas",
     "grouped_vector_search",
     "lsh_ann_topk",
     "ivf_ann_topk",

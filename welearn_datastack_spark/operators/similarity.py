@@ -181,3 +181,63 @@ def sq8_dequantize(vec: Column) -> Column:
             vmax > vmin, vmin + F.floor((x.cast("double") - vmin) / step) * step
         ).otherwise(vmin),
     )
+
+
+def blas_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Arrow/BLAS alternate of :func:`brute_force_topk`: the query
+    matrix ships to every task (same rows the JVM path broadcasts —
+    |Q| is the small side by construction), each corpus Arrow batch
+    scores as ONE numpy matmul (B×d @ d×Q), and only the per-batch
+    top-k survives, so the final shuffle is |partitions|·|Q|·k rows —
+    identical shuffle shape to the JVM path's |Q|·k window input.
+
+    Same semantics as the zip_with/aggregate kernel up to float
+    summation order (numpy uses pairwise summation; the JVM fold is
+    sequential), which is why this variant is equivalence-tested
+    under a tolerance instead of the exact-hash oracle. Use it when
+    measured matmul throughput beats the JVM kernel at the deployed
+    dim×batch shape (SCALE.md §6); the plan shape at 100 TB is
+    unchanged — a narrow map over the corpus plus one tiny top-k
+    exchange."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(q_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            scores = (cm @ qm.T) / (cn[:, None] * qn[None, :])
+            top = min(k, len(pdf))
+            idx = np.argpartition(-scores, kth=top - 1, axis=0)[:top]  # top×Q
+            cids = pdf[c_id].to_numpy(dtype=np.int64)
+            n_q = len(q_ids)
+            yield pd.DataFrame(
+                {
+                    q_id: np.repeat(q_ids, top),
+                    c_id: cids[idx.T.ravel()],
+                    "cosine": np.round(
+                        scores[idx.T.ravel(), np.repeat(np.arange(n_q), top)],
+                        round_digits,
+                    ),
+                }
+            )
+
+    cand = corpus.select(c_id, vec_col).mapInPandas(
+        run, schema=f"{q_id} long, {c_id} long, cosine double"
+    )
+    return top_k_by(cand, [q_id], [F.desc("cosine"), F.asc(c_id)], k=k)

@@ -492,3 +492,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("l_c_id").cast("int").alias("n_overlap"),
         F.round(F.count("l_c_id") / 3.0, 6).alias("recall_at_3"),
     )
+
+
+@register(
+    "cosine_topk_blas",
+    None,  # numpy pairwise summation differs from the JVM fold in the
+    # last ulp, so this variant is equivalence-tested under a
+    # tolerance against cosine_topk (tests/test_similarity_blas.py)
+    # instead of the exact-hash oracle; the driver records the
+    # rows-only check
+    doc="Similarity search, BLAS alternate: the same brute-force "
+    "cosine top-5 as cosine_topk but scored as one numpy matmul per "
+    "corpus Arrow batch with per-batch top-k preselection "
+    "(operators/similarity.py blas_topk). Benchmark twin for the "
+    "JVM-kernel-vs-Arrow-BLAS crossover (SCALE.md §6).",
+)
+def cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import blas_topk
+
+    queries, corpus = _split(spark, sf_dir)
+    return blas_topk(queries, corpus.select("c_id", "embedding"), k=5).select(
+        "q_id", "c_id", "cosine", "rnk"
+    )
