@@ -111,3 +111,60 @@ def test_semi_and_anti_join_operators(spark, sf_dir):
     anti = _plan(spark, sf_dir, "anti_join_stale_customers")
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+# Queries allowed to contain a BroadcastNestedLoopJoin: each one
+# broadcasts a frame whose size is BOUNDED regardless of SF — the
+# fixed query set (|Q|=10), a per-label centroid table (|labels|·dim),
+# or a single-row total/normalizer. Anything else appearing here is a
+# plan regression that turns into a cluster-killing cross product at
+# 100 TB.
+_BNLJ_ALLOWED = {
+    "temperature_mixture_weights",  # 1-row corpus-total normalizer
+    "closed_window_counts",         # 1-row watermark frame
+    "cosine_topk",                  # bounded query-set broadcast
+    "cosine_topk_blas",             # same (top_k_by over candidates)
+    "grouped_vector_search",        # bounded query-set broadcast
+    "embedding_near_dup",           # bounded query-set broadcast
+    "ivf_ann_topk",                 # centroid table (k_centroids rows)
+    "sq8_ann_topk",                 # bounded query-set broadcast
+    "ann_recall_report",            # bounded query-set broadcast
+    "tfidf_top_terms",              # 1-row doc-count normalizer
+    "pmi_cooccurrence",             # 1-row total normalizer
+}
+
+
+def test_no_unexpected_broadcast_nested_loop_joins(spark, sf_dir):
+    """Full-registry sweep: a BroadcastNestedLoopJoin outside the
+    bounded-frame allow-list means a join lost its equi-condition (or
+    a crossJoin crept onto an SF-scaling table)."""
+    offenders = {}
+    for name in sorted(REGISTRY):
+        plan = _plan(spark, sf_dir, name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = plan.count("BroadcastNestedLoopJoin")
+    assert not offenders, f"unexpected BNLJ in: {offenders}"
+
+
+# The dedup/LSH pipelines' shuffle budgets. These are the queries
+# whose scale story is "bucket once, work bucket-local"; an extra
+# exchange here means a dropDuplicates / repartition crept back into
+# the near-quadratic pair stream. Counts are for the pre-AQE physical
+# plan at sf0.001 with the session defaults.
+_EXCHANGE_BUDGET = {
+    "exact_dup_flags": 1,          # one hash window over normalized text
+    "minhash_lsh_candidates": 3,   # tokenize agg + band bucket + pair dedup
+    "ngram_jaccard_pairs": 3,      # shingle agg + bucket pairs + jaccard agg
+    "lsh_near_dup_pairs": 1,       # plane projection is map-side; 1 bucket join
+    "dedup_clusters": 0,           # label propagation joins broadcast at this SF
+}
+
+
+def test_dedup_lsh_exchange_budgets(spark, sf_dir):
+    for name, budget in _EXCHANGE_BUDGET.items():
+        plan = _plan(spark, sf_dir, name)
+        got = plan.count("Exchange hashpartitioning")
+        assert got <= budget, (
+            f"{name}: {got} hash exchanges, budget {budget} — a new "
+            f"shuffle appeared in the dedup pipeline\n{plan[:1500]}"
+        )
