@@ -18,18 +18,73 @@ Spark-first realization:
 - capped bucketing = row_number arithmetic + filter (reference chunks
   a Python list and silently drops overflow, batch_generator.py:55–62).
 
-Scale note: the ordered prefix-sum / global bucketing windows use an
-un-partitioned Window, which Spark executes on a single task. That is
-exactly the semantics the reference wants (a single global greedy
-admission over at most PICK_QTY_MAX≈thousands of candidate rows —
-always LIMIT-ed first), so the single-task window only ever sees a
-small, pre-limited input. Never apply these to an unbounded table.
+Scale note: the ordered prefix-sum / global bucketing operators have
+GLOBAL-ORDER semantics, which a naive un-partitioned Window executes
+on a single task. They are implemented instead as a two-pass
+range-partitioned prefix (see ``_ranged_prefix``): range-shuffle on
+the ordering, partition-local prefix, and a broadcast per-partition
+offset table whose only global window runs over #partitions rows —
+bounded by cluster parallelism, never by data size. The results are
+bit-identical to the global window (the oracles pin that).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _ranged_prefix(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    local_col: str,
+    use_row_number: bool = False,
+) -> DataFrame:
+    """Two-pass global prefix over ``order_by`` without a global
+    window: range-partition on the ordering (explicit partition count
+    — a user-numbered repartition is exempt from AQE coalescing, so
+    every read of the shuffle sees the SAME partition ids), compute
+    the partition-local prefix (``row_number`` or running ``sum``),
+    then add each partition's offset = cumulative total of all earlier
+    partitions. The offset table has one row per partition; its
+    cumsum window is bounded by parallelism, not data.
+
+    Returns df + ``local_col`` (the GLOBAL prefix value) + ``__pid``
+    (caller drops it).
+    """
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(n_part, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    if use_row_number:
+        local = part.withColumn(local_col, F.row_number().over(w_local).cast("long"))
+        per_part = F.count(F.lit(1))
+    else:
+        local = part.withColumn(
+            local_col,
+            F.sum(value).over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        per_part = F.sum(value)
+    totals = part.groupBy("__pid").agg(per_part.alias("__tot"))
+    w_pid = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "__pid",
+        (F.sum("__tot").over(w_pid) - F.col("__tot")).alias("__off"),
+        F.sum("__tot").over(w_all).alias("__grand_total"),
+    )
+    return local.join(F.broadcast(offsets), "__pid").withColumn(
+        local_col, F.col(local_col) + F.col("__off")
+    )
 
 
 def latest_state(
@@ -79,15 +134,29 @@ def byte_budget_admission(
     budget: int,
     order_by: list[Column],
     cum_col: str = "cum_size",
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Greedy running-sum admission: keep rows, in ``order_by`` order,
     while the cumulative ``size_col`` stays ≤ budget (reference A3/W3,
     the Python accumulation loop at retrieve_data_from_database.py:
-    204–247 → a prefix-sum window). The input must already be small
-    (LIMIT-ed) — see module scale note.
+    204–247 → a prefix sum). Default: two-pass ranged prefix — safe
+    on unbounded tables, identical to the global-window answer. Pass
+    ``bounded_input=True`` only for frames already capped by a LIMIT
+    (the batch generators), where one single-task window over the few
+    hundred candidate rows beats three extra exchanges.
     """
-    w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return df.withColumn(cum_col, F.sum(size_col).over(w)).filter(F.col(cum_col) <= budget)
+    if bounded_input:
+        w = Window.orderBy(*order_by).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return df.withColumn(cum_col, F.sum(size_col).over(w)).filter(
+            F.col(cum_col) <= budget
+        )
+    out = _ranged_prefix(df, order_by, F.col(size_col), cum_col)
+    return (
+        out.filter(F.col(cum_col) <= budget)
+        .drop("__pid", "__off", "__grand_total")
+    )
 
 
 def capped_buckets(
@@ -96,6 +165,7 @@ def capped_buckets(
     threshold: int,
     max_buckets: int,
     bucket_col: str = "bucket",
+    bounded_input: bool = False,
 ) -> DataFrame:
     """Fixed-size work buckets with a hard cap; overflow rows are
     DROPPED, faithfully mirroring the reference's silent overflow drop
@@ -104,10 +174,16 @@ def capped_buckets(
     replaces the reference's ``{i}_batch_ids.csv`` artifacts — downstream
     stages repartition on it instead of reading files.
     """
-    w = Window.orderBy(*order_by)
+    if bounded_input:
+        out = df.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(*order_by)).cast("long")
+        )
+    else:
+        out = _ranged_prefix(df, order_by, F.lit(1), "__rn", use_row_number=True).drop(
+            "__pid", "__off", "__grand_total"
+        )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn(bucket_col, F.floor((F.col("__rn") - 1) / threshold).cast("int"))
+        out.withColumn(bucket_col, F.floor((F.col("__rn") - 1) / threshold).cast("int"))
         .filter(F.col(bucket_col) < max_buckets)
         .drop("__rn")
     )
@@ -115,9 +191,25 @@ def capped_buckets(
 
 def even_split(df: DataFrame, qty: int, order_by: list[Column], bucket_col: str = "bucket") -> DataFrame:
     """Ceil-split into exactly ``qty`` buckets (reference S14,
-    utils_/database_utils.py:48–64) — ``ntile``.
+    utils_/database_utils.py:48–64) — ``ntile`` semantics computed
+    from the ranged global row number and total count: the first
+    ``N mod qty`` tiles hold ``ceil(N/qty)`` rows, the rest
+    ``floor(N/qty)``.
     """
-    return df.withColumn(bucket_col, F.ntile(qty).over(Window.orderBy(*order_by)))
+    out = _ranged_prefix(df, order_by, F.lit(1), "__rn", use_row_number=True)
+    n = F.col("__grand_total")
+    rn = F.col("__rn")
+    base = F.floor(n / qty)
+    rem = n % qty
+    cut = rem * (base + 1)
+    bucket = (
+        F.when(rn <= cut, F.floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rn - 1 - cut) / base) + 1)
+        .cast("int")
+    )
+    return out.withColumn(bucket_col, bucket).drop(
+        "__rn", "__pid", "__off", "__grand_total"
+    )
 
 
 def deterministic_sample(df: DataFrame, n: int, key_col: str) -> DataFrame:

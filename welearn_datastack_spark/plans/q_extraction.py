@@ -38,7 +38,12 @@ _CC_BY_SA_IGO = "https://creativecommons.org/licenses/by-sa/3.0/igo/"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # the testdata file is one row group (one split); spread the
+    # CPU-heavy per-row extraction maps across the session's cores. A
+    # real corpus scan has many splits and needs no such spread.
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ------------------------------------------------------------- UNESDOC

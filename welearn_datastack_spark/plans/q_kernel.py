@@ -204,13 +204,21 @@ def generate_vectorize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("last_event_id"))
         .limit(100)
     )
+    # bounded_input: candidates is LIMIT 100 — the single-task window
+    # over ≤100 rows is the right plan; the ranged two-pass prefix is
+    # for unbounded tables (see byte_budget_admission query)
     admitted = admit(
         candidates,
         size_col="n_chars",
         budget=20000,
         order_by=[F.desc("last_event_id")],
         cum_col="cum_chars",
+        bounded_input=True,
     )
     return buckets(
-        admitted, order_by=[F.desc("last_event_id")], threshold=10, max_buckets=8
+        admitted,
+        order_by=[F.desc("last_event_id")],
+        threshold=10,
+        max_buckets=8,
+        bounded_input=True,
     ).select("doc_id", "last_event_id", "n_chars", "cum_chars", "bucket")
