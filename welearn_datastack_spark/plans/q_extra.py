@@ -809,6 +809,49 @@ def backfill_update_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_windowed_counts",
+    """
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT day_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT date_trunc('day', ts)::TIMESTAMP AS day_start,
+                 date_trunc('day', ts)::TIMESTAMP + INTERVAL 1 DAY AS day_end,
+                 event_type
+          FROM events), mx
+    WHERE day_end <= mx.max_ts
+    GROUP BY day_start, event_type
+    """,
+    doc="R1 under the driver gate, STREAMING leg: the actual Structured-"
+    "Streaming job (watermarked tumbling-window counts, append mode, "
+    "AvailableNow trigger — streaming/state_machine."
+    "stream_windowed_counts) runs against the events file and its "
+    "emitted CLOSED windows are value-hashed against the batch SQL "
+    "twin. Complements closed_window_counts, which gates the same "
+    "semantics without running the stream.",
+)
+def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.state_machine import stream_windowed_counts
+
+    work = tempfile.mkdtemp(prefix="welearn_stream_wc_")
+    events_dir = f"{work}/events"
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+    stream_windowed_counts(
+        spark, events_dir, f"{work}/ckpt", f"{work}/out",
+        window="1 day", watermark="0 seconds",
+    )
+    out = spark.read.parquet(f"{work}/out")
+    # append mode emits each closed window exactly once; the re-agg is
+    # a cheap idempotence guard over the tiny emitted frame
+    return out.groupBy(
+        F.col("window_start").alias("day_start"), "event_type"
+    ).agg(F.sum("n").alias("n"))
+
+
+@register(
     "closed_window_counts",
     """
     WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
