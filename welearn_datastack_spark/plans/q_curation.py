@@ -198,3 +198,43 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.sqrt(F.col("n_tokens")) / F.col("z") + F.lit(5e-10), 6).alias("mix_weight"),
     )
+
+
+_HEXINT_SQL = (
+    "list_reduce([strpos('0123456789abcdef', c) - 1"
+    " for c in regexp_extract_all(substr(md5({x}), 1, 15), '.')],"
+    " (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             {_HEXINT_SQL.format(x="'split:' || source")} % 10 AS h
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN h < 8 THEN 'train'
+                WHEN h = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    doc="Leakage-controlled train/val/test split: the split is assigned "
+    "by hashing the GROUP key (source), never the document, so every "
+    "document from one source — including its near-duplicates, which "
+    "cluster within a source — lands in the same split and eval can "
+    "never see a training near-dup. Deterministic md5 bucketing "
+    "(80/10/10), no sampling state, reproducible across runs and "
+    "engines; at 100 TB this is a map-only projection with zero "
+    "shuffle.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = hexint(F.concat(F.lit("split:"), F.col("source"))) % 10
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h < 8, "train").when(h == 8, "val").otherwise(F.lit("test")).alias("split"),
+    )
