@@ -612,3 +612,157 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+      SELECT c.c_custkey, c.c_name,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 5e-10, 2) AS revenue,
+             c.c_acctbal, n.n_name
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-items revenue per customer over a "
+    "date slice, 3 fact-side joins + bounded nation broadcast, "
+    "top-20 by revenue. orders/customer/lineitem all scale with SF "
+    "so none carries a hint; the quarter-date filter pushes into "
+    "the orders scan and prunes before any join.",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(5e-10),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume) + 5e-10, 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume by year — a 5-way join "
+    "with TWO roles of the same bounded nation dim (both broadcast) "
+    "and a disjunctive cross-nation predicate evaluated after the "
+    "joins; the ship-date band pushes into the lineitem scan.",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(5e-10), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 5e-10, 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (adapted to the synthetic part schema: size "
+    "brackets instead of container lists): disjunctive multi-bracket "
+    "predicate across both join sides. Catalyst extracts the common "
+    "brand/size constraints toward the part scan and quantity bounds "
+    "toward lineitem; the join itself stays a plain equi-join on "
+    "p_partkey with the residual OR evaluated post-join.",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(5e-10),
+                2,
+            ).alias("revenue")
+        )
+    )
