@@ -31,8 +31,11 @@ HEADLINE = [
     "tpch_q14_promo_share",
     "tpch_q16_supplier_count",
     "tpch_q18_large_orders",
+    "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q17_small_quantity_revenue",
     "tpch_q19_discounted_revenue",
     "latest_event",
     "generate_vectorize_batch",

@@ -766,3 +766,144 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount) + 5e-10, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure predicate+agg — every filter (date band, "
+    "discount bracket, quantity cap) must reach PushedFilters on the "
+    "single lineitem scan; zero joins, one map-side partial sum.",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) + F.lit(5e-10), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume) + 5e-10, 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+    ) GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: national market share — a 7-way join with the "
+    "nation dim in two roles plus the region rollup (all bounded → "
+    "broadcast) over three SF-scaling facts, then a conditional-share "
+    "aggregate (SUM(CASE)/SUM) per order year.",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0)))
+            / F.sum(volume)
+            + F.lit(5e-10),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH avg_qty AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0 + 5e-10, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.threshold
+    """,
+    doc="TPC-H Q17 shape: the correlated scalar subquery (per-part "
+    "average quantity) DECORRELATED into a pre-aggregate + equi-join "
+    "— the rewrite Catalyst's subquery planning would produce, stated "
+    "explicitly: one map-side-combined agg over lineitem keyed by "
+    "partkey, then a join that AQE may broadcast, never a per-row "
+    "subquery execution.",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("threshold")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0 + F.lit(5e-10), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
