@@ -160,3 +160,35 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         .count()
     )
     assert n_bloom == n_plain
+
+
+def test_simhash_hot_bucket_sub_split_bounds_task_width(spark):
+    """One band value holding the WHOLE corpus (the boilerplate-heavy
+    worst case) must not generate its |bucket|² pairs in a single
+    task: the sub-split chunks the bucket so per-task pair generation
+    is bounded by ~chunk_target², while the pair SET stays exactly the
+    brute-force set."""
+    from welearn_datastack_spark.operators.dedup import simhash_near_pairs
+
+    n, ct = 400, 16
+    # every doc shares the same fingerprint → every band bucket is hot
+    fp = spark.range(n).select(F.col("id").alias("doc_id"), F.lit(0xBEEF).alias("simhash"))
+    pairs = simhash_near_pairs(fp, "doc_id", bits=16, n_bands=4, max_hamming=3, chunk_target=ct)
+    rows = pairs.collect()
+    # exact: all n·(n-1)/2 pairs at hamming 0, each exactly once, a<b
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["hamming"] == 0 and r["a_id"] < r["b_id"] for r in rows)
+    assert len({(r["a_id"], r["b_id"]) for r in rows}) == len(rows)
+    # width bound: replay the chunk assignment — s=ceil(n/ct) chunks,
+    # and no chunk (hence no chunk-pair task side) exceeds a small
+    # multiple of chunk_target even under hash imbalance
+    s = -(-n // ct)
+    sizes = (
+        spark.range(n)
+        .select(F.pmod(F.xxhash64(F.col("id")), F.lit(s)).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    assert len(sizes) > 1, "hot bucket was not split"
+    assert max(r["count"] for r in sizes) <= 4 * ct

@@ -291,6 +291,7 @@ def simhash_near_pairs(
     bits: int = 16,
     n_bands: int = 4,
     max_hamming: int = 3,
+    chunk_target: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming,
     found WITHOUT a quadratic comparison: split the fingerprint into
@@ -299,18 +300,28 @@ def simhash_near_pairs(
     shares at least one exact band, so banded candidates + exact
     hamming filter is EXACT (not approximate) for
     ``max_hamming < n_bands``. Output (a_id, b_id, hamming), a_id <
-    b_id. Same bucket-explosion shape as LSH candidates: one pass,
-    shuffle on the (band, band_key) bucket, work bucket-local.
+    b_id.
 
-    Worst case is corpus-dependent, not plan-dependent: on a corpus
-    that is mostly near-duplicates (e.g. the synthetic word-soup
-    bench tables) one band value can hold most documents, and that
-    bucket's pair generation is inherently quadratic in its size —
-    the output itself is near-quadratic there, so no plan avoids the
-    work. On real corpora band values spread and buckets stay small;
-    if a production corpus develops hot buckets, sub-split them
-    (chunk members into s groups, pair chunk_i x chunk_j for i <= j)
-    before the join."""
+    Hot-bucket sub-splitting: on a boilerplate-heavy corpus one band
+    value can hold millions of documents, and a plain bucket join
+    would generate that bucket's |bucket|² pairs in ONE task. Instead
+    each bucket of size bs is split into ``s = ceil(bs/chunk_target)``
+    chunks by a hash of the id, and the join runs per CHUNK PAIR
+    (ci ≤ cj): a member of chunk c enters the left side for every
+    partner chunk cj ≥ c and the right side for every ci ≤ c, so each
+    unordered cross-chunk pair meets exactly once (at ci=min, cj=max)
+    and the diagonal ci=cj keeps the id-order cut. Per-task pair
+    generation is then ≤ ~chunk_target² regardless of bucket size,
+    at a replication cost of s+1 rows per member — linear, and dwarfed
+    by the quadratic pair output it parallelizes. Buckets at or under
+    chunk_target get s=1, i.e. exactly the un-split plan.
+
+    A qualifying pair shares every band where its XOR's band value is
+    zero — emitting it only from the FIRST such band makes each pair
+    globally unique by construction, so no dropDuplicates re-shuffle
+    of the (large, near-quadratic) pair stream is needed, and the
+    hamming cut is applied inside the join before anything else
+    moves."""
     assert max_hamming < n_bands, "banding is only exact for max_hamming < n_bands"
     width = bits // n_bands
     mask = (1 << width) - 1
@@ -324,28 +335,51 @@ def simhash_near_pairs(
         "band_key",
         F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit(mask)),
     )
-    # Bucket-local self-join: one shuffle on (band, band_key), pairs
-    # generated only within a bucket. A qualifying pair shares every
-    # band where its XOR's band value is zero — emitting it only from
-    # the FIRST such band makes each pair globally unique by
-    # construction, so no dropDuplicates re-shuffle of the (large,
-    # near-quadratic) pair stream is needed, and the hamming cut is
-    # applied inside the join before anything else moves.
-    #
     # The join INPUT is tiny in bytes but its OUTPUT is the near-
     # quadratic pair stream — exactly the shape AQE's size-based
     # partition coalescing mis-reads (it sees KBs of shuffle data and
     # folds the CPU-heavy pair generation onto one core; measured 5x
     # on the bench corpus). A user repartition is exempt from AQE
-    # coalescing, so pin the bucket distribution to the session's
-    # parallelism explicitly.
+    # coalescing, so pin the bucket distribution explicitly. The
+    # window below reuses this clustering (no extra exchange).
     par = fingerprints.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(par, "band", "band_key")
-    a = banded.select("band", "band_key", F.col(id_col).alias("a_id"), F.col("simhash").alias("ha"))
-    b = banded.select("band", "band_key", F.col(id_col).alias("b_id"), F.col("simhash").alias("hb"))
+    bucket_w = Window.partitionBy("band", "band_key")
+    chunked = (
+        banded.withColumn(
+            "__s",
+            F.ceil(F.count(F.lit(1)).over(bucket_w) / chunk_target).cast("int"),
+        )
+        # chunk id: any deterministic hash of the id works (never
+        # surfaced in the output, so no oracle-parity constraint) —
+        # xxhash64 is the cheap builtin
+        .withColumn("__c", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int"))
+    )
+    a = chunked.select(
+        "band",
+        "band_key",
+        F.col("__c").alias("ci"),
+        F.explode(F.sequence(F.col("__c"), F.col("__s") - 1)).alias("cj"),
+        F.col(id_col).alias("a_id"),
+        F.col("simhash").alias("ha"),
+    )
+    b = chunked.select(
+        "band",
+        "band_key",
+        F.explode(F.sequence(F.lit(0), F.col("__c"))).alias("ci"),
+        F.col("__c").alias("cj"),
+        F.col(id_col).alias("b_id"),
+        F.col("simhash").alias("hb"),
+    )
+    # pin the chunk-pair distribution the same way as the bucket one
+    a = a.repartition(par, "band", "band_key", "ci", "cj")
+    b = b.repartition(par, "band", "band_key", "ci", "cj")
     return (
-        a.join(b, on=["band", "band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        a.join(b, on=["band", "band_key", "ci", "cj"])
+        # diagonal chunk pairs see both orderings — cut by id; a
+        # cross-chunk pair meets exactly once, in whichever order the
+        # two chunk ids impose, so normalize with least/greatest below
+        .filter((F.col("ci") < F.col("cj")) | (F.col("a_id") < F.col("b_id")))
         .withColumn("x", F.col("ha").bitwiseXOR(F.col("hb")))
         .withColumn("hamming", F.bit_count("x"))
         .filter(F.col("hamming") <= max_hamming)
@@ -358,5 +392,9 @@ def simhash_near_pairs(
                 f" bb -> bb >= band OR (shiftright(x, bb * {width}) & {mask}) != 0)"
             )
         )
-        .select("a_id", "b_id", "hamming")
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "hamming",
+        )
     )
