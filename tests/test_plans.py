@@ -50,6 +50,14 @@ _HINT_BUDGET = {
     "tpch_q16_supplier_count": 0,
     "tpch_q18_large_orders": 0,
     "broadcast_lookup": 1,  # nation
+    "tpch_q2_min_cost_supplier": 4,  # nation, region — x2: both decorrelation branches compile the joins (bounded dims; runtime dedups via exchange reuse)
+    "tpch_q9_product_type_profit": 1,  # nation
+    "tpch_q11_important_stock": 1,  # nation (1-row filtered)
+    "tpch_q12_shipmode_priority": 0,
+    "tpch_q15_top_supplier": 1,  # 1-row max-revenue scalar — Catalyst pushes the equality filter into the cross join, making it a (bounded) hash join
+    "tpch_q20_potential_promotion": 1,  # nation (semi)
+    "tpch_q21_suppliers_kept_waiting": 1,  # nation (semi)
+    "tpch_q22_global_sales_opportunity": 1,  # nation IN-list
 }
 
 
@@ -131,6 +139,8 @@ _BNLJ_ALLOWED = {
     "ann_recall_report",            # bounded query-set broadcast
     "tfidf_top_terms",              # 1-row doc-count normalizer
     "pmi_cooccurrence",             # 1-row total normalizer
+    "tpch_q11_important_stock",     # 1-row global-threshold scalar
+    "tpch_q22_global_sales_opportunity",  # 1-row avg-balance scalar
 }
 
 
@@ -157,6 +167,10 @@ _EXCHANGE_BUDGET = {
     "ngram_jaccard_pairs": 3,      # shingle agg + bucket pairs + jaccard agg
     "lsh_near_dup_pairs": 1,       # plane projection is map-side; 1 bucket join
     "dedup_clusters": 0,           # label propagation joins broadcast at this SF
+    # fingerprints + 3 pinned bucket repartitions (the AQE-coalescing
+    # defeat) + chunk-pair sub-split branches; a drop below this count
+    # is fine, but growth means pair generation re-serialized
+    "simhash_near_pairs": 8,
 }
 
 

@@ -907,3 +907,463 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set (round 6): the remaining decorrelation / nested
+# semi-anti shapes a relational user hits. The synthetic schema has no
+# partsupp table and no l_commitdate/l_receiptdate/l_shipmode columns,
+# so — exactly like the q17/q19 adaptations above — each query keeps
+# the ORIGINAL query's *plan shape* (what the optimizer must do) while
+# substituting schema-available surrogates:
+#   partsupp            -> per-(l_partkey, l_suppkey) aggregates of lineitem
+#   ps_supplycost       -> min unit price  l_extendedprice / l_quantity
+#   ps_availqty         -> all-time shipped quantity for the pair
+#   receipt>commit late -> l_shipdate > o_orderdate + N days
+#   l_shipmode          -> l_linestatus
+#   c_phone country     -> nation name
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           ROUND(ps.unit_cost + 5e-10, 4) AS unit_cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size BETWEEN 1 AND 15 AND p.p_type = 'STANDARD'
+      AND r.r_name = 'EUROPE'
+      AND ps.unit_cost = (
+        SELECT MIN(ps2.unit_cost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape: correlated MIN subquery (cheapest EUROPE "
+    "supplier per part) DECORRELATED into a per-part min aggregate "
+    "joined back on (partkey, unit_cost) equality. partsupp is "
+    "synthesized as the per-(part,supplier) min unit price from "
+    "lineitem; MIN over identical doubles is order-independent, so "
+    "the cross-engine equality join is exact (no summation drift). "
+    "nation/region broadcast; the per-part min is a second agg over "
+    "the same shuffle key (partkey) so it reuses the exchange.",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(1, 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    # EUROPE-supplier offers only (the correlated subquery's domain)
+    eu_ps = (
+        ps.join(supp, ps.l_suppkey == supp.s_suppkey)
+        .join(nation, nation.n_nationkey == supp.s_nationkey)
+        .join(region, region.r_regionkey == nation.n_regionkey)
+    )
+    min_cost = eu_ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eu_ps.join(part, eu_ps.l_partkey == part.p_partkey)
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round(F.col("unit_cost") + F.lit(5e-10), 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount) + 5e-10, 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.5 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%bolt%'
+    ) GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: product-type profit by supplier nation and "
+    "order year — a 5-way star join over the fact with a LIKE filter "
+    "on the part dim (supply cost surrogate: half retail price). "
+    "Only bounded nation is hint-broadcast; part/supplier/orders "
+    "scale with SF and are left to AQE. One fact shuffle per join "
+    "key; the final agg keys are tiny (nation x year).",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, nation.n_nationkey == supp.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount) + F.lit(5e-10), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey, SUM(l.l_extendedprice * l.l_quantity) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, ROUND(part_value + 5e-10, 2) AS part_value
+    FROM val
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+    """,
+    doc="TPC-H Q11 shape: HAVING over a global scalar — per-part value "
+    "held by NATION_1 suppliers, kept only when it exceeds a fraction "
+    "of the nation-wide total. The scalar total is a second agg over "
+    "the first agg's output (tiny) cross-joined back as a broadcast "
+    "1-row frame — never a per-row subquery. The only real shuffle "
+    "is the partkey agg.",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    )
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, nation.n_nationkey == supp.s_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    total = F.broadcast(val.agg((F.sum("part_value") * 0.001).alias("threshold")))
+    return (
+        val.join(total)
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("part_value") + F.lit(5e-10), 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape: late-shipment priority split (shipmode "
+    "surrogate: l_linestatus; late-receipt surrogate: shipped >30d "
+    "after order). The year band pushes into the lineitem scan; the "
+    "lateness predicate is a non-equi residual on the equi-join; the "
+    "priority split folds into one conditional-agg pass.",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)) + 5e-10, 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: view + scalar max — quarterly revenue per "
+    "supplier (the view), suppliers tied for the maximum. Revenue is "
+    "ROUNDED INSIDE the view on both sides so the scalar-max equality "
+    "compares engine-stable values (raw double sums could straddle an "
+    "ulp across partial-agg orders). The max is a 1-row broadcast; "
+    "the supplier join side is tiny after the agg.",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + F.lit(5e-10), 2
+        ).alias("total_revenue")
+    )
+    max_rev = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_revenue")))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(max_rev)
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    """
+    WITH allq AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), yq AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS yr_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT a.l_suppkey FROM allq a
+      JOIN yq y ON y.l_partkey = a.l_partkey AND y.l_suppkey = a.l_suppkey
+      WHERE a.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND a.total_qty > 1.5 * y.yr_qty
+    )
+    AND s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+    """,
+    doc="TPC-H Q20 shape: nested semi chain — suppliers (semi) holding "
+    "a qualifying part (inner semi on a LIKE-filtered part set) whose "
+    "all-time shipped quantity exceeds 1.5x their 1996 shipments "
+    "(availqty surrogate: all-time pair quantity; the correlated "
+    "yearly-sum threshold is decorrelated into a pre-agg equi-join "
+    "on the same (partkey,suppkey) grouping key, so the two aggs "
+    "share one exchange). Nation filter is a third semi on a "
+    "broadcast 1-row set.",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    allq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
+    yq = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("y_partkey"), F.col("l_suppkey").alias("y_suppkey"))
+        .agg(F.sum("l_quantity").alias("yr_qty"))
+    )
+    small_parts = (
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    qualifying = (
+        allq.join(
+            yq,
+            (allq.l_partkey == F.col("y_partkey")) & (allq.l_suppkey == F.col("y_suppkey")),
+        )
+        .join(small_parts, allq.l_partkey == F.col("p_partkey"), "left_semi")
+        .filter(F.col("total_qty") > 1.5 * F.col("yr_qty"))
+        .select("l_suppkey")
+    )
+    nation2 = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2").select(
+        "n_nationkey"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(nation2), supp.s_nationkey == nation2.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_1'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape: the multi-EXISTS/NOT-EXISTS anti chain — "
+    "suppliers in NATION_1 who were the SOLE late shipper on a "
+    "finished multi-supplier order (late surrogate: shipped >60d "
+    "after order date). Both correlated EXISTS clauses are "
+    "decorrelated into ONE per-order aggregate (distinct supplier "
+    "count, distinct late-supplier count) joined back on the order "
+    "key: EXISTS(other supplier) ≡ n_supp >= 2; NOT EXISTS(other "
+    "late) ≡ n_late_supp = 1 given l1 itself is late. One extra "
+    "shuffle on o_orderkey replaces two correlated scans.",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = base.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    nation1 = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select(
+        "n_nationkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    return (
+        base.filter(late)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation1), supp.s_nationkey == nation1.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal) + 5e-10, 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
+    WHERE n.n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7', 'NATION_9')
+      AND c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q22 shape: anti join + global scalar avg — customers "
+    "with above-average balance and no RECENT orders (every synthetic "
+    "customer has some order, so 'never ordered' is adapted to 'no "
+    "order since 1999' — same 7-years-dormant spirit as the "
+    "original), counted per country (country-code surrogate: nation "
+    "name over an IN-list). The avg is a 1-row broadcast cross join; "
+    "the NOT EXISTS is a LEFT ANTI on the customer key; nation is a "
+    "bounded broadcast dim.",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_3", "NATION_5", "NATION_7", "NATION_9"))
+        .select("n_nationkey", "n_name")
+    )
+    avg_bal = F.broadcast(
+        cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(nation, nation.n_nationkey == cust.c_nationkey)
+        .join(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal") + F.lit(5e-10), 2).alias("totacctbal"),
+        )
+    )
