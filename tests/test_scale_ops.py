@@ -179,16 +179,31 @@ def test_simhash_hot_bucket_sub_split_bounds_task_width(spark):
     assert len(rows) == n * (n - 1) // 2
     assert all(r["hamming"] == 0 and r["a_id"] < r["b_id"] for r in rows)
     assert len({(r["a_id"], r["b_id"]) for r in rows}) == len(rows)
-    # width bound: replay the chunk assignment — s=ceil(n/ct) chunks,
-    # and no chunk (hence no chunk-pair task side) exceeds a small
-    # multiple of chunk_target even under hash imbalance
+    # width bound: replay the chunk assignment THROUGH THE OPERATOR'S
+    # OWN helper (chunk_assignment) — s=ceil(n/ct) chunks, and no
+    # chunk (hence no chunk-pair task side) exceeds a small multiple
+    # of chunk_target even under hash imbalance
+    from welearn_datastack_spark.operators.dedup import chunk_assignment
+
     s = -(-n // ct)
     sizes = (
         spark.range(n)
-        .select(F.pmod(F.xxhash64(F.col("id")), F.lit(s)).alias("c"))
+        .select(chunk_assignment("id", s).alias("c"))
         .groupBy("c")
         .count()
         .collect()
     )
     assert len(sizes) > 1, "hot bucket was not split"
     assert max(r["count"] for r in sizes) <= 4 * ct
+
+
+def test_simhash_rejects_nonpositive_chunk_target(spark):
+    """chunk_target=0 would null out the chunk columns under non-ANSI
+    SQL and silently return an empty pair set — it must raise."""
+    import pytest
+
+    from welearn_datastack_spark.operators.dedup import simhash_near_pairs
+
+    fp = spark.range(4).select(F.col("id").alias("doc_id"), F.lit(1).alias("simhash"))
+    with pytest.raises(AssertionError):
+        simhash_near_pairs(fp, "doc_id", chunk_target=0)

@@ -285,6 +285,16 @@ def incremental_lsh_candidates(
     )
 
 
+def chunk_assignment(id_col, n_chunks) -> Column:
+    """The sub-split chunk id for a bucket member: a deterministic
+    hash of the id modulo the bucket's chunk count. Shared by
+    :func:`simhash_near_pairs` and its width-bound test so the test
+    keeps describing the real plan if the split formula changes."""
+    ident = F.col(id_col) if isinstance(id_col, str) else id_col
+    n = F.lit(n_chunks) if isinstance(n_chunks, int) else n_chunks
+    return F.pmod(F.xxhash64(ident), n).cast("int")
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str,
@@ -311,10 +321,12 @@ def simhash_near_pairs(
     partner chunk cj ≥ c and the right side for every ci ≤ c, so each
     unordered cross-chunk pair meets exactly once (at ci=min, cj=max)
     and the diagonal ci=cj keeps the id-order cut. Per-task pair
-    generation is then ≤ ~chunk_target² regardless of bucket size,
-    at a replication cost of s+1 rows per member — linear, and dwarfed
-    by the quadratic pair output it parallelizes. Buckets at or under
-    chunk_target get s=1, i.e. exactly the un-split plan.
+    generation is then ≤ ~chunk_target² regardless of bucket size.
+    Replication cost is s+1 rows per member — linear in s per member,
+    but ≈ bs²/chunk_target per bucket in total (a ~2/chunk_target
+    fraction of that bucket's pair output), which matters when sizing
+    shuffle capacity for multi-million-row hot buckets. Buckets at or
+    under chunk_target get s=1, i.e. exactly the un-split plan.
 
     A qualifying pair shares every band where its XOR's band value is
     zero — emitting it only from the FIRST such band makes each pair
@@ -323,6 +335,9 @@ def simhash_near_pairs(
     hamming cut is applied inside the join before anything else
     moves."""
     assert max_hamming < n_bands, "banding is only exact for max_hamming < n_bands"
+    # with ANSI off, chunk_target=0 would make __s null and the
+    # explode(sequence(...)) silently drop every row — fail loudly
+    assert chunk_target >= 1, "chunk_target must be a positive chunk size"
     width = bits // n_bands
     mask = (1 << width) - 1
     banded = fingerprints.select(
@@ -353,7 +368,7 @@ def simhash_near_pairs(
         # chunk id: any deterministic hash of the id works (never
         # surfaced in the output, so no oracle-parity constraint) —
         # xxhash64 is the cheap builtin
-        .withColumn("__c", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int"))
+        .withColumn("__c", chunk_assignment(id_col, F.col("__s")))
     )
     a = chunked.select(
         "band",

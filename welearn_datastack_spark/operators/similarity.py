@@ -210,34 +210,48 @@ def blas_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(q_id, vec_col).collect()
+    schema = f"{q_id} long, {c_id} long, cosine double"
+    # null query embeddings can't score — drop them up front (the JVM
+    # kernel's null cosine ranks last and never survives top-k)
+    q_rows = queries.filter(F.col(vec_col).isNotNull()).select(q_id, vec_col).collect()
+    if not q_rows:
+        # 0 queries → 0 result rows; np.array([]) would be 1-D and
+        # crash norm(axis=1), so return the empty frame directly
+        return queries.sparkSession.createDataFrame([], schema)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
 
     def run(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             cn = np.linalg.norm(cm, axis=1)
-            scores = (cm @ qm.T) / (cn[:, None] * qn[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = (cm @ qm.T) / (cn[:, None] * qn[None, :])
+            # a zero-norm vector divides to NaN/inf here while the JVM
+            # kernel yields NULL; mask to -inf so such rows rank last
+            # (as NULLS LAST does in the JVM path's F.desc) and can
+            # never displace a real score from the per-batch top-k
+            scores = np.where(np.isfinite(scores), scores, -np.inf)
             top = min(k, len(pdf))
             idx = np.argpartition(-scores, kth=top - 1, axis=0)[:top]  # top×Q
             cids = pdf[c_id].to_numpy(dtype=np.int64)
             n_q = len(q_ids)
-            yield pd.DataFrame(
+            picked = scores[idx.T.ravel(), np.repeat(np.arange(n_q), top)]
+            out = pd.DataFrame(
                 {
                     q_id: np.repeat(q_ids, top),
                     c_id: cids[idx.T.ravel()],
-                    "cosine": np.round(
-                        scores[idx.T.ravel(), np.repeat(np.arange(n_q), top)],
-                        round_digits,
-                    ),
+                    "cosine": np.round(picked, round_digits),
                 }
             )
+            # surface the masked sentinels as NULL, matching the JVM
+            # kernel's value for an unscorable pair
+            out.loc[~np.isfinite(picked), "cosine"] = None
+            yield out
 
-    cand = corpus.select(c_id, vec_col).mapInPandas(
-        run, schema=f"{q_id} long, {c_id} long, cosine double"
-    )
+    cand = corpus.select(c_id, vec_col).mapInPandas(run, schema=schema)
     return top_k_by(cand, [q_id], [F.desc("cosine"), F.asc(c_id)], k=k)

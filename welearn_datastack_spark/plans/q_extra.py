@@ -836,19 +836,26 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.state_machine import stream_windowed_counts
 
     work = tempfile.mkdtemp(prefix="welearn_stream_wc_")
-    events_dir = f"{work}/events"
-    os.makedirs(events_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
-    stream_windowed_counts(
-        spark, events_dir, f"{work}/ckpt", f"{work}/out",
-        window="1 day", watermark="0 seconds",
-    )
-    out = spark.read.parquet(f"{work}/out")
-    # append mode emits each closed window exactly once; the re-agg is
-    # a cheap idempotence guard over the tiny emitted frame
-    return out.groupBy(
-        F.col("window_start").alias("day_start"), "event_type"
-    ).agg(F.sum("n").alias("n"))
+    try:
+        events_dir = f"{work}/events"
+        os.makedirs(events_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+        stream_windowed_counts(
+            spark, events_dir, f"{work}/ckpt", f"{work}/out",
+            window="1 day", watermark="0 seconds",
+        )
+        out = spark.read.parquet(f"{work}/out")
+        # append mode emits each closed window exactly once; the re-agg
+        # is a cheap idempotence guard over the tiny emitted frame
+        agg = out.groupBy(
+            F.col("window_start").alias("day_start"), "event_type"
+        ).agg(F.sum("n").alias("n"))
+        # the emitted frame is bounded (|days|·|event types|); pin it
+        # into a local frame so the scratch dir can be removed instead
+        # of leaking one mkdtemp per build() call
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
