@@ -37,6 +37,14 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_discounted_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
     "latest_event",
     "generate_vectorize_batch",
     "top2_event_types",
@@ -86,31 +94,47 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query times measure the plan
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # two executions per query, best-of-2 recorded: the first run pays
-    # one-time whole-stage-codegen compile + JIT for that plan shape
-    # (~0.5-1.7s, measured), which is noise at any real data scale —
-    # the steady-state run is what a 1000-executor job repeats. The
-    # cold (first-run) total is reported alongside so compile-time
-    # regressions stay visible across rounds.
+    # VARIANCE PROTOCOL (round 6 — cross-round deltas were noise-
+    # polluted two rounds running, with untouched queries drifting
+    # ±20-85% between rounds on the shared sandbox): 5 executions per
+    # query. Run 0 pays one-time whole-stage-codegen compile + JIT for
+    # that plan shape (~0.5-1.7s, measured) and feeds only cold_total;
+    # the 4 warm runs yield BOTH min (the steady-state floor a
+    # 1000-executor job repeats — the headline stat, comparable to
+    # prior rounds) and median (robust to one slow outlier), plus a
+    # per-query relative spread (max-min)/median so a cross-round
+    # delta can be judged against the same query's same-session
+    # jitter before being called a regression. The 1-minute load
+    # average is sampled before and after so sandbox contention is
+    # visible in the record.
     # per-query failure isolation: one broken query must never erase
     # the whole performance signal — record {"err": ...} for it and
     # keep timing the rest (round-3 postmortem: a single
     # AnalysisException cost the round every number).
+    import statistics
+
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     cold_total = 0.0
+    load_before = os.getloadavg()[0]
     for name in HEADLINE:
         spec = REGISTRY[name]
-        best = float("inf")
+        warm: list[float] = []
         try:
-            for i in range(3):
+            for i in range(5):
                 t0 = time.time()
                 spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                best = min(best, dt)
                 if i == 0:
                     cold_total += dt
-            times[name] = round(best, 3)
+                else:
+                    warm.append(dt)
+            med = statistics.median(warm)
+            times[name] = round(min(warm), 3)
+            medians[name] = round(med, 3)
+            spreads[name] = round((max(warm) - min(warm)) / med, 3) if med > 0 else 0.0
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(times.values()), 3)
@@ -120,9 +144,13 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "runs": 3,
-        "stat": "min",
+        "runs": 5,
+        "stat": "min-of-4-warm",
+        "median_total_sec": round(sum(medians.values()), 3),
+        "queries_median": medians,
+        "queries_rel_spread": spreads,
         "cold_total_sec": round(cold_total, 3),
+        "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
     }
     if errors:
         out["errors"] = errors
