@@ -64,7 +64,10 @@ HEADLINE = [
     "word_window_slices",
     "tfidf_top_terms",
     "minhash_lsh_candidates",
+    "minhash_lsh_candidates_hashed",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_hashed",
+    "duplicate_span_fraction_hashed",
     "simhash_fingerprints",
     "exact_dup_flags",
     "readability",

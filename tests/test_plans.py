@@ -164,7 +164,9 @@ def test_no_unexpected_broadcast_nested_loop_joins(spark, sf_dir):
 _EXCHANGE_BUDGET = {
     "exact_dup_flags": 1,          # one hash window over normalized text
     "minhash_lsh_candidates": 3,   # tokenize agg + band bucket + pair dedup
+    "minhash_lsh_candidates_hashed": 3,  # same plan, 8-byte keys
     "ngram_jaccard_pairs": 3,      # shingle agg + bucket pairs + jaccard agg
+    "ngram_jaccard_pairs_hashed": 3,     # same plan, 8-byte keys
     "lsh_near_dup_pairs": 1,       # plane projection is map-side; 1 bucket join
     "dedup_clusters": 0,           # label propagation joins broadcast at this SF
     # fingerprints + 3 pinned bucket repartitions (the AQE-coalescing

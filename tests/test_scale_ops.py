@@ -207,3 +207,49 @@ def test_simhash_rejects_nonpositive_chunk_target(spark):
     fp = spark.range(4).select(F.col("id").alias("doc_id"), F.lit(1).alias("simhash"))
     with pytest.raises(AssertionError):
         simhash_near_pairs(fp, "doc_id", chunk_target=0)
+
+
+def test_hashed_shingle_variants_match_string_keyed(spark):
+    """The xxhash64-shuffle-key variants must produce byte-identical
+    results to the string-keyed path (jaccard, span fraction) and
+    recover exact duplicates under either minhash basis."""
+    from welearn_datastack_spark.operators.dedup import (
+        hashed_shingles,
+        jaccard_pairs,
+        lsh_band_keys,
+        lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3),
+            (2, base * 3),                     # exact dup of 1
+            (3, base * 3 + " extra trailing words here"),  # near dup
+            (4, "completely different content about spark shuffle internals " * 4),
+            (5, "completely different content about spark shuffle internals " * 4),  # dup of 4
+            (6, "unrelated short text with its own vocabulary entirely", ),
+        ],
+        "doc_id long, text string",
+    )
+    sh_s = word_shingles(docs, "doc_id", "text", n=3)
+    sh_h = hashed_shingles(sh_s, "doc_id")
+
+    jp_s = {(r["a_id"], r["b_id"]): r["jaccard"] for r in jaccard_pairs(sh_s, "doc_id", 0.15).collect()}
+    jp_h = {(r["a_id"], r["b_id"]): r["jaccard"] for r in jaccard_pairs(sh_h, "doc_id", 0.15).collect()}
+    assert jp_s == jp_h and (1, 2) in jp_s and jp_s[(1, 2)] == 1.0
+
+    def lsh_pairs(sh, prehashed):
+        sigs = minhash_signatures(sh, "doc_id", n_hashes=8, prehashed=prehashed)
+        bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2, long_keys=prehashed)
+        return {(r["a_id"], r["b_id"]) for r in lsh_candidates(bands, "doc_id").collect()}
+
+    p_s, p_h = lsh_pairs(sh_s, False), lsh_pairs(sh_h, True)
+    # exact duplicates have identical shingle sets → identical
+    # signatures → guaranteed candidates under ANY hash basis
+    for must in [(1, 2), (4, 5)]:
+        assert must in p_s and must in p_h
+    # and neither basis invents pairs across disjoint shingle sets
+    assert (1, 6) not in p_s and (1, 6) not in p_h

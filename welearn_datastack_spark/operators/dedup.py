@@ -96,6 +96,23 @@ def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> Da
     )
 
 
+def hashed_shingles(shingles: DataFrame, id_col: str) -> DataFrame:
+    """Shuffle-key compression for the dedup family: replace each
+    shingle STRING with its xxhash64 long, map-side, BEFORE any
+    shingle-keyed exchange. An 8-token shingle averages ~50-60 bytes;
+    the long is 8 — at 100 TB the shingle exchange is the dominant
+    dedup shuffle, so this is a ~7x shuffle-byte cut for identical
+    results modulo a ~2^-64 collision (two distinct strings colliding
+    would merge their document-frequency buckets; with ~10^10 distinct
+    shingles the expected number of colliding pairs is ~10^20/2^64 ≈
+    0.003). Downstream operators (jaccard_pairs, the df-window
+    rollups, minhash with ``prehashed=True``) are dtype-agnostic on
+    the shingle column. The string-keyed path stays the oracle twin:
+    bit-exact cross-engine parity needs the md5-based hash, while
+    this variant is equivalence-tested against it."""
+    return shingles.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str,
@@ -174,13 +191,25 @@ def _mh_params(seed: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, n_hashes: int, prehashed: bool = False
+) -> DataFrame:
     """MinHash signature rows (id_col, seed, mh): per seed, the min
     over shingles of ``(a_seed · h31(shingle) + b_seed) mod (2^31-1)``
     where h31 is the md5-derived base hash. Map-side partial min
     before the shuffle → the shuffle carries |D|·n_hashes rows, not
-    |shingles|·n_hashes; hashing cost is ONE md5 per shingle."""
-    base = (hexint(F.col("shingle")) % _MH_PRIME).alias("h31")
+    |shingles|·n_hashes; hashing cost is ONE md5 per shingle.
+
+    With ``prehashed=True`` the shingle column already holds a long
+    (see :func:`hashed_shingles`) and h31 is just pmod into the prime
+    field — a different (but equally universal) random basis, so the
+    signatures differ from the md5 path's while the LSH guarantees
+    (collision probability = Jaccard similarity per hash) hold
+    unchanged; exact duplicates hash identically under either basis."""
+    if prehashed:
+        base = F.pmod(F.col("shingle"), F.lit(_MH_PRIME)).alias("h31")
+    else:
+        base = (hexint(F.col("shingle")) % _MH_PRIME).alias("h31")
     hashed = shingles.select(F.col(id_col), base)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     a = F.element_at(F.array(*[F.lit(_mh_params(s)[0]) for s in range(n_hashes)]), F.col("seed") + 1)
@@ -193,15 +222,21 @@ def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int) -> DataF
     )
 
 
-def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int) -> DataFrame:
+def lsh_band_keys(
+    signatures: DataFrame, id_col: str, rows_per_band: int, long_keys: bool = False
+) -> DataFrame:
     """Group signature rows into bands; band key = md5 of the
-    seed-ordered minhash values in the band. Output
-    (id_col, band, band_key)."""
+    seed-ordered minhash values in the band (32-char string), or with
+    ``long_keys=True`` their xxhash64 (8 bytes — pairs with
+    :func:`hashed_shingles` to keep the band-bucket exchange narrow).
+    Output (id_col, band, band_key)."""
     banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     ordered_mh = F.transform(
         F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"].cast("string")
     )
-    return banded.groupBy(id_col, "band").agg(F.md5(F.concat_ws("-", ordered_mh)).alias("band_key"))
+    joined = F.concat_ws("-", ordered_mh)
+    key = F.xxhash64(joined) if long_keys else F.md5(joined)
+    return banded.groupBy(id_col, "band").agg(key.alias("band_key"))
 
 
 def lsh_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     exact_dup_flags,
+    hashed_shingles,
     jaccard_pairs,
     lsh_band_keys,
     lsh_candidates,
@@ -59,8 +60,11 @@ def exact_dup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_flags(docs, "doc_id", "text")
 
 
-@register(
-    "ngram_jaccard_pairs",
+# shared by the string-keyed query and its hashed-shuffle-key variant:
+# the hashed pipeline produces IDENTICAL output (xxhash64 is injective
+# on this corpus's shingle set — any collision would shift a count),
+# so both gate against the same string-keyed SQL.
+_JACCARD_ORACLE = (
     _SHINGLES_CTE
     + """
     , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -76,13 +80,38 @@ def exact_dup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sa ON sa.doc_id = c.a_id
       JOIN sizes sb ON sb.doc_id = c.b_id
     ) WHERE jaccard >= 0.15
-    """,
+    """
+)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _JACCARD_ORACLE,
     doc="Dedup: word-trigram Jaccard near-dup pairs ≥ 0.15 (pairs "
     "generated per shingle bucket — equi-join, never cross product)",
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=3)
+    return jaccard_pairs(sh, "doc_id", threshold=0.15)
+
+
+@register(
+    "ngram_jaccard_pairs_hashed",
+    _JACCARD_ORACLE,
+    doc="Hashed-shuffle-key variant of ngram_jaccard_pairs: shingle "
+    "strings are xxhash64'd to 8-byte longs MAP-SIDE before the "
+    "shingle-bucket exchange (operators/dedup.hashed_shingles) — a "
+    "~4x shuffle-byte cut at trigram width, ~7x at 8-token width, on "
+    "the dominant dedup shuffle at 100 TB. Output is identical to "
+    "the string-keyed query (same oracle, full hash gate): per-doc "
+    "sizes, bucket memberships, and pair counts survive hashing "
+    "because xxhash64 is collision-free on any realistic shingle "
+    "set (~2^-64 per pair).",
+)
+def ngram_jaccard_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=3), "doc_id")
     return jaccard_pairs(sh, "doc_id", threshold=0.15)
 
 
@@ -115,6 +144,29 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+    return lsh_candidates(bands, "doc_id")
+
+
+@register(
+    "minhash_lsh_candidates_hashed",
+    None,  # rows-only: a different universal-hash basis → different
+    # (equally valid) candidate set; no cross-engine SQL twin exists
+    # because DuckDB has no xxhash64. Equivalence is pinned by tests:
+    # exact-duplicate documents are recovered by BOTH bases, and the
+    # candidate volume stays in the same LSH-predicted range.
+    doc="Hashed-shuffle-key variant of minhash_lsh_candidates: "
+    "xxhash64 longs replace shingle strings before the signature "
+    "aggregation AND 8-byte xxhash64 band keys replace 32-char md5 "
+    "strings in the band-bucket exchange. Same LSH guarantees "
+    "(per-hash collision probability = Jaccard similarity) under a "
+    "different random basis; the narrow keys cut both dedup-pipeline "
+    "shuffles at 100 TB.",
+)
+def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=3), "doc_id")
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=8, prehashed=True)
+    bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2, long_keys=True)
     return lsh_candidates(bands, "doc_id")
 
 
@@ -233,9 +285,9 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(fp, "doc_id", bits=16, n_bands=4, max_hamming=3)
 
 
-@register(
-    "duplicate_span_fraction",
-    """
+# shared by the string-keyed query and its hashed variant (same
+# reasoning as _JACCARD_ORACLE)
+_SPAN_FRACTION_ORACLE = """
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ts FROM documents
     ), sh AS (
@@ -255,28 +307,14 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / COUNT(*) + 5e-10, 4) AS dup_span_frac
     FROM sh s JOIN cnt c USING (shingle)
     GROUP BY s.doc_id
-    """,
-    doc="Substring-level dedup signal (Lee et al., 'Deduplicating "
-    "Training Data'): per document, the fraction of its distinct "
-    "8-token shingles that also occur in at least one OTHER document "
-    "— the standard 'duplicated span' measure used to excise "
-    "cross-document boilerplate rather than drop whole docs. Plan: "
-    "shingles arrive clustered on doc_id (word_shingles "
-    "repartitions), the document-frequency count is a window over "
-    "shingle (one exchange), and the per-doc rollup re-clusters on "
-    "doc_id. At 100 TB, shuffle xxhash64(shingle) longs instead of "
-    "~60-byte shingle strings (8-byte keys, same counts modulo a "
-    "~2^-64 collision) — kept as strings here for bit-exact oracle "
-    "parity; and the shingle-df table is the same artifact the "
-    "contamination screen and LSH banding already build — one "
-    "pipeline can share it. Epsilon +5e-10 before ROUND on both "
-    "sides: int-ratio halves round differently in binary vs decimal.",
-)
-def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _span_fraction_rollup(sh: DataFrame) -> DataFrame:
+    """Per-doc duplicated-span rollup over a (doc_id, shingle) frame —
+    shingle dtype agnostic (string or hashed long)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "doc_id", "text", n=8)
     w = Window.partitionBy("shingle")
     return (
         sh.withColumn("n_docs_sh", F.count(F.lit(1)).over(w))
@@ -294,6 +332,46 @@ def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_frac"),
         )
     )
+
+
+@register(
+    "duplicate_span_fraction",
+    _SPAN_FRACTION_ORACLE,
+    doc="Substring-level dedup signal (Lee et al., 'Deduplicating "
+    "Training Data'): per document, the fraction of its distinct "
+    "8-token shingles that also occur in at least one OTHER document "
+    "— the standard 'duplicated span' measure used to excise "
+    "cross-document boilerplate rather than drop whole docs. Plan: "
+    "shingles arrive clustered on doc_id (word_shingles "
+    "repartitions), the document-frequency count is a window over "
+    "shingle (one exchange), and the per-doc rollup re-clusters on "
+    "doc_id. At 100 TB, shuffle xxhash64(shingle) longs instead of "
+    "~60-byte shingle strings (8-byte keys, same counts modulo a "
+    "~2^-64 collision) — kept as strings here for bit-exact oracle "
+    "parity; and the shingle-df table is the same artifact the "
+    "contamination screen and LSH banding already build — one "
+    "pipeline can share it. Epsilon +5e-10 before ROUND on both "
+    "sides: int-ratio halves round differently in binary vs decimal.",
+)
+def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _span_fraction_rollup(word_shingles(docs, "doc_id", "text", n=8))
+
+
+@register(
+    "duplicate_span_fraction_hashed",
+    _SPAN_FRACTION_ORACLE,
+    doc="Hashed-shuffle-key variant of duplicate_span_fraction: the "
+    "8-token shingles (~55 bytes each) become xxhash64 longs map-side "
+    "before the document-frequency window's shingle exchange — the "
+    "~7x shuffle-byte cut plans/q_dedup.py's string query documents "
+    "as the 100 TB path, now implemented and gated against the SAME "
+    "string-keyed oracle (identical counts absent a 2^-64 collision).",
+)
+def duplicate_span_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=8), "doc_id")
+    return _span_fraction_rollup(sh)
 
 
 @register(
