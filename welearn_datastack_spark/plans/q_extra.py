@@ -859,6 +859,80 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_urls",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="R4 under the driver gate, STREAMING leg: the real "
+    "dropDuplicatesWithinWatermark ingest-dedup stream (streaming/"
+    "state_machine.stream_dedup_urls) drains the events log with "
+    "AvailableNow and its emitted KEY SET is value-hashed against "
+    "DISTINCT over the batch table. The gate pins the at-most-once-"
+    "per-horizon contract on the key columns — WHICH duplicate "
+    "survives (its event_id/ts) is arrival-order-dependent inside a "
+    "micro-batch, so the deterministic cross-engine surface is the "
+    "key set, exactly as the reference's URL-ingest dedup is keyed "
+    "(pipeline/url_ingest.py twin).",
+)
+def stream_dedup_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.state_machine import stream_dedup_urls
+
+    work = tempfile.mkdtemp(prefix="welearn_stream_dd_")
+    try:
+        events_dir = f"{work}/events"
+        os.makedirs(events_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+        stream_dedup_urls(spark, events_dir, f"{work}/ckpt", f"{work}/out")
+        out = spark.read.parquet(f"{work}/out").select("user_id", "event_type")
+        # bounded: |users|·|event types| keys
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_enrich_join",
+    """
+    SELECT event_id, user_id, event_type,
+           CASE event_type WHEN 'click' THEN 'web'
+                           WHEN 'view' THEN 'web'
+                           WHEN 'purchase' THEN 'commerce'
+                           ELSE 'other' END AS channel
+    FROM events
+    """,
+    doc="R5/J9 under the driver gate, STREAMING leg: the real "
+    "stream-static broadcast enrichment join (streaming/state_machine."
+    "stream_enrich_join — dimension re-read per micro-batch, stream "
+    "side never shuffles) drains the events log and every enriched "
+    "row is value-hashed against the batch CASE mapping. Row-"
+    "deterministic, so this is a full hash gate, not rows-only.",
+)
+def stream_enrich_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.state_machine import stream_enrich_join
+
+    work = tempfile.mkdtemp(prefix="welearn_stream_ej_")
+    try:
+        events_dir = f"{work}/events"
+        os.makedirs(events_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+        stream_enrich_join(spark, events_dir, f"{work}/ckpt", f"{work}/out")
+        out = spark.read.parquet(f"{work}/out").select(
+            "event_id", "user_id", "event_type", "channel"
+        )
+        # |events| rows but narrow (4 scalar cols) — pin locally so the
+        # scratch dir is removed instead of leaking per build() call
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "closed_window_counts",
     """
     WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
