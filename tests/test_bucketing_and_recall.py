@@ -202,3 +202,24 @@ def test_sq8_quantization_recall(spark, sf_dir):
         got.setdefault(r["q_id"], set()).add(r["c_id"])
     recalls = [len(want[q] & got.get(q, set())) / len(want[q]) for q in want]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ann_method_recall_error_bounds(spark, sf_dir):
+    """The 3-row per-method recall report must stay consistent with
+    its inputs: every recall in [0,1] over all 10 queries; SQ8 (a
+    precision approximation of the SAME scorer) near-perfect; and the
+    lsh row must equal the mean of ann_recall_report's per-query
+    recalls (the two reports describe one measurement)."""
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    rows = {r["method"]: r for r in REGISTRY["ann_method_recall"].build(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf", "sq8"}
+    for m, r in rows.items():
+        assert r["n_queries"] == 10, m
+        assert 0.0 <= r["mean_recall_at_3"] <= 1.0, m
+    # quantization to 256 levels barely perturbs 64-dim cosines
+    assert rows["sq8"]["mean_recall_at_3"] >= 0.9
+    per_q = REGISTRY["ann_recall_report"].build(spark, sf_dir).collect()
+    lsh_mean = sum(r["n_overlap"] for r in per_q) / (3.0 * len(per_q))
+    assert abs(rows["lsh"]["mean_recall_at_3"] - lsh_mean) < 1e-3

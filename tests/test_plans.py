@@ -137,6 +137,7 @@ _BNLJ_ALLOWED = {
     "ivf_ann_topk",                 # centroid table (k_centroids rows)
     "sq8_ann_topk",                 # bounded query-set broadcast
     "ann_recall_report",            # bounded query-set broadcast
+    "ann_method_recall",            # same, x3 method branches
     "tfidf_top_terms",              # 1-row doc-count normalizer
     "pmi_cooccurrence",             # 1-row total normalizer
     "tpch_q11_important_stock",     # 1-row global-threshold scalar

@@ -190,11 +190,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROID_IDS = (20, 60, 100, 140, 180, 220, 260, 300)
 _CENTROID_SQL = ", ".join(str(i) for i in _CENTROID_IDS)
 
-_IVF_ORACLE = f"""
-WITH norms AS (
-  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
-  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id
-), cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+# IVF CTE chain sans the norms CTE (shared with _COSINE_CTE's, which
+# is definition-identical) — reused by the per-method recall report
+_IVF_TAIL = f"""
+cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
             WHERE vec_id IN ({_CENTROID_SQL})),
 allv AS (SELECT vec_id, embedding AS ve FROM embeddings),
 cos_to_cent AS (
@@ -229,12 +228,28 @@ cos_to_cent AS (
   JOIN norms nq ON nq.vec_id = k.q_id
   JOIN norms nc ON nc.vec_id = k.c_id
 )
+"""
+
+_NORMS_CTE = """
+norms AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id
+)
+"""
+
+_IVF_ORACLE = (
+    "WITH "
+    + _NORMS_CTE
+    + ", "
+    + _IVF_TAIL
+    + """
 SELECT q_id, c_id, cosine, rnk FROM (
   SELECT q_id, c_id, cosine,
          CAST(row_number() OVER (PARTITION BY q_id
                                  ORDER BY cosine DESC, c_id ASC) AS INT) AS rnk
   FROM scored) WHERE rnk <= 3
 """
+)
 
 
 @register(
@@ -290,10 +305,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sq8_ann_topk",
-    """
-    WITH rng AS (
+# SQ8 CTE chain with sq_-prefixed names so it can coexist with
+# _COSINE_CTE's norms/pairs inside the per-method recall report
+_SQ8_TAIL = """
+rng AS (
       SELECT vec_id, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
       FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id
     ), deq AS (
@@ -305,21 +320,29 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e
       JOIN rng r ON r.vec_id = e.vec_id,
       LATERAL (SELECT unnest(e.embedding) AS v, generate_subscripts(e.embedding, 1) AS i) ge
-    ), norms AS (
+    ), sq_norms AS (
       SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM deq GROUP BY vec_id
-    ), pairs AS (
+    ), sq_pairs AS (
       SELECT q.vec_id AS q_id, c.vec_id AS c_id,
              ROUND(SUM(q.v * c.v) / (nq.nrm * nc.nrm), 6) AS cosine
       FROM deq q JOIN deq c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id >= 10
-      JOIN norms nq ON nq.vec_id = q.vec_id
-      JOIN norms nc ON nc.vec_id = c.vec_id
+      JOIN sq_norms nq ON nq.vec_id = q.vec_id
+      JOIN sq_norms nc ON nc.vec_id = c.vec_id
       GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm
     )
+"""
+
+
+@register(
+    "sq8_ann_topk",
+    "WITH "
+    + _SQ8_TAIL
+    + """
     SELECT q_id, c_id, cosine, rnk FROM (
       SELECT q_id, c_id, cosine,
              CAST(row_number() OVER (PARTITION BY q_id
                                      ORDER BY cosine DESC, c_id ASC) AS INT) AS rnk
-      FROM pairs
+      FROM sq_pairs
     ) WHERE rnk <= 5
     """,
     doc="Similarity search, SQ8 path: per-vector scalar quantization "
@@ -430,6 +453,29 @@ def _lsh_topk_sql(k: int) -> str:
     )"""
 
 
+def _lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per query via the sign-plane LSH bucket join — shared by
+    ann_recall_report and ann_method_recall."""
+    from ..operators.similarity import cosine
+    from ..operators.topk import top_k_by
+    from .q_extra import _bucket_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+    lq = tagged.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    lc = tagged.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    lsh_pairs = lq.join(lc, on="bucket").select(
+        "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
+    )
+    return top_k_by(lsh_pairs, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
+        "q_id", "c_id"
+    )
+
+
 @register(
     "ann_recall_report",
     _COSINE_CTE
@@ -458,29 +504,11 @@ def _lsh_topk_sql(k: int) -> str:
     "value-checked, not just row-counted.",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine
-    from ..operators.topk import top_k_by
-    from .q_extra import _bucket_col
-
     queries, corpus = _split(spark, sf_dir)
     exact = brute_force_topk(queries, corpus.select("c_id", "embedding"), k=3).select(
         "q_id", "c_id"
     )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    tagged = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
-    lq = tagged.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
-    )
-    lc = tagged.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
-    )
-    lsh_pairs = lq.join(lc, on="bucket").select(
-        "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
-    )
-    lsh_top = top_k_by(lsh_pairs, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
-        "q_id", F.col("c_id").alias("l_c_id")
-    )
+    lsh_top = _lsh_top3(spark, sf_dir).select("q_id", F.col("c_id").alias("l_c_id"))
 
     joined = exact.join(
         lsh_top,
@@ -491,6 +519,106 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_exact"),
         F.count("l_c_id").cast("int").alias("n_overlap"),
         F.round(F.count("l_c_id") / 3.0, 6).alias("recall_at_3"),
+    )
+
+
+_EXACT_TOP3_CTE = """
+exact_top AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, c_id ASC) AS rnk
+    FROM pairs) WHERE rnk <= 3
+)
+"""
+
+_RECALL_AGG = """
+  SELECT '{m}' AS method,
+         CAST(COUNT(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+         ROUND(COUNT(t.c_id) / (3.0 * COUNT(DISTINCT e.q_id)) + 5e-10, 4)
+           AS mean_recall_at_3
+  FROM exact_top e
+  LEFT JOIN {top} t ON t.q_id = e.q_id AND t.c_id = e.c_id
+"""
+
+_METHOD_RECALL_ORACLE = (
+    "SELECT * FROM (\n"
+    + _COSINE_CTE
+    + ", "
+    + _lsh_topk_sql(3).lstrip()
+    + ", "
+    + _EXACT_TOP3_CTE
+    + _RECALL_AGG.format(m="lsh", top="lsh_top")
+    + ")\nUNION ALL\nSELECT * FROM (\n"
+    + _COSINE_CTE
+    + ", "
+    + _IVF_TAIL
+    + """, ivf_top AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, c_id ASC) AS rnk
+    FROM scored) WHERE rnk <= 3
+), """
+    + _EXACT_TOP3_CTE
+    + _RECALL_AGG.format(m="ivf", top="ivf_top")
+    + ")\nUNION ALL\nSELECT * FROM (\n"
+    + _COSINE_CTE
+    + ", "
+    + _SQ8_TAIL
+    + """, sq_top AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, c_id ASC) AS rnk
+    FROM sq_pairs) WHERE rnk <= 3
+), """
+    + _EXACT_TOP3_CTE
+    + _RECALL_AGG.format(m="sq8", top="sq_top")
+    + ")"
+)
+
+
+@register(
+    "ann_method_recall",
+    _METHOD_RECALL_ORACLE,
+    doc="ANN quality gate across ALL approximate paths: mean recall@3 "
+    "vs the exact brute-force top-3 for the LSH sign-bucket, IVF "
+    "2-probe, and SQ8 quantized variants — one row per method. This "
+    "is the dial a 100 TB deployment reads before trading exact "
+    "search for an approximate path: LSH recall tracks plane count, "
+    "IVF recall tracks probe count, SQ8 recall tracks quantization "
+    "error. Every branch recomputes both the exact and approximate "
+    "tops in BOTH engines (shared literals), so the recall fractions "
+    "are value-hashed, not just row-counted.",
+)
+def ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import sq8_dequantize
+
+    queries, corpus = _split(spark, sf_dir)
+    exact = brute_force_topk(queries, corpus.select("c_id", "embedding"), k=3).select(
+        "q_id", "c_id"
+    )
+
+    ivf_top = ivf_ann_topk(spark, sf_dir).select("q_id", "c_id")
+    dq = queries.select("q_id", sq8_dequantize(F.col("embedding")).alias("embedding"))
+    dc = corpus.select("c_id", sq8_dequantize(F.col("embedding")).alias("embedding"))
+    sq_top = brute_force_topk(dq, dc, k=3).select("q_id", "c_id")
+
+    def branch(top: DataFrame, name: str) -> DataFrame:
+        t = top.select(F.col("q_id").alias("m_q_id"), F.col("c_id").alias("m_c_id"))
+        j = exact.join(
+            t, (exact.q_id == t.m_q_id) & (exact.c_id == t.m_c_id), "left"
+        )
+        return j.agg(
+            F.countDistinct(exact.q_id).alias("n_queries"),
+            F.round(
+                F.count("m_c_id") / (3.0 * F.countDistinct(exact.q_id)) + F.lit(5e-10),
+                4,
+            ).alias("mean_recall_at_3"),
+        ).select(F.lit(name).alias("method"), "n_queries", "mean_recall_at_3")
+
+    return (
+        branch(_lsh_top3(spark, sf_dir), "lsh")
+        .unionByName(branch(ivf_top, "ivf"))
+        .unionByName(branch(sq_top, "sq8"))
     )
 
 
