@@ -267,3 +267,35 @@ def test_pdf_strip_single_page_untouched(spark):
     )
     (out,) = refine_pdf_pages(df, k=1).collect()
     assert out["text"] == "Header body Page 1"
+
+
+def test_bounded_input_guard_rejects_large_frames(spark):
+    """bounded_input=True routes through a single-task global window —
+    acceptable only for LIMIT-capped batch frames. The runtime guard
+    must fail the job when an unbounded-sized frame sneaks in, and
+    stay invisible (zero result change) under the ceiling."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from welearn_datastack_spark.operators.state_log import (
+        byte_budget_admission,
+        capped_buckets,
+    )
+
+    small = spark.range(50).select(F.col("id"), F.lit(10).alias("sz"))
+    ok = byte_budget_admission(
+        small, "sz", budget=200, order_by=[F.asc("id")], bounded_input=True
+    ).collect()
+    assert [r["id"] for r in ok] == list(range(20))  # 20*10 = 200 fits
+
+    big = spark.range(500).select(F.col("id"), F.lit(1).alias("sz"))
+    with pytest.raises(SparkRuntimeException, match="bounded_input"):
+        byte_budget_admission(
+            big, "sz", budget=10**9, order_by=[F.asc("id")],
+            bounded_input=True, max_bounded_rows=100,
+        ).collect()
+    with pytest.raises(SparkRuntimeException, match="bounded_input"):
+        capped_buckets(
+            big, order_by=[F.asc("id")], threshold=50, max_buckets=1000,
+            bounded_input=True, max_bounded_rows=100,
+        ).collect()

@@ -128,6 +128,34 @@ def latest_state_in(
     return out
 
 
+# Debug ceiling for the bounded_input=True single-task window path: a
+# batch-generator candidate frame is LIMIT-capped at a few hundred
+# rows; anything past this ceiling means an unbounded table was fed
+# into the one-task plan — fail the job loudly instead of silently
+# serializing (and eventually OOMing) a 100 TB window on one core.
+BOUNDED_INPUT_MAX_ROWS = 100_000
+
+
+def _bounded_row_guard(order_by: list[Column], max_rows: int) -> Column:
+    """A zero-cost runtime assertion for the single-task window path:
+    row_number over the SAME global ordering (so it fuses into the
+    window operator that is already there) must stay ≤ max_rows.
+    assert_true yields NULL on success; coalesced to 0 so callers can
+    ADD it to a kept column — making it unprunable by the optimizer —
+    without changing the value."""
+    rn = F.row_number().over(Window.orderBy(*order_by))
+    return F.coalesce(
+        F.assert_true(
+            rn <= max_rows,
+            F.lit(
+                f"bounded_input=True was fed a frame larger than {max_rows} rows "
+                "— use the default two-pass ranged prefix for unbounded tables"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+
+
 def byte_budget_admission(
     df: DataFrame,
     size_col: str,
@@ -135,6 +163,7 @@ def byte_budget_admission(
     order_by: list[Column],
     cum_col: str = "cum_size",
     bounded_input: bool = False,
+    max_bounded_rows: int = BOUNDED_INPUT_MAX_ROWS,
 ) -> DataFrame:
     """Greedy running-sum admission: keep rows, in ``order_by`` order,
     while the cumulative ``size_col`` stays ≤ budget (reference A3/W3,
@@ -143,15 +172,16 @@ def byte_budget_admission(
     on unbounded tables, identical to the global-window answer. Pass
     ``bounded_input=True`` only for frames already capped by a LIMIT
     (the batch generators), where one single-task window over the few
-    hundred candidate rows beats three extra exchanges.
+    hundred candidate rows beats three extra exchanges; a runtime
+    guard fails the job if more than ``max_bounded_rows`` rows reach
+    that single task.
     """
     if bounded_input:
         w = Window.orderBy(*order_by).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        return df.withColumn(cum_col, F.sum(size_col).over(w)).filter(
-            F.col(cum_col) <= budget
-        )
+        guarded = F.sum(size_col).over(w) + _bounded_row_guard(order_by, max_bounded_rows)
+        return df.withColumn(cum_col, guarded).filter(F.col(cum_col) <= budget)
     out = _ranged_prefix(df, order_by, F.col(size_col), cum_col)
     return (
         out.filter(F.col(cum_col) <= budget)
@@ -166,17 +196,22 @@ def capped_buckets(
     max_buckets: int,
     bucket_col: str = "bucket",
     bounded_input: bool = False,
+    max_bounded_rows: int = BOUNDED_INPUT_MAX_ROWS,
 ) -> DataFrame:
     """Fixed-size work buckets with a hard cap; overflow rows are
     DROPPED, faithfully mirroring the reference's silent overflow drop
     (data/batch_generator.py:55–62: chunks of ``parallelism_threshold``,
     at most ``parallelism_max`` batches). Spark-side the bucket column
     replaces the reference's ``{i}_batch_ids.csv`` artifacts — downstream
-    stages repartition on it instead of reading files.
+    stages repartition on it instead of reading files. With
+    ``bounded_input=True`` the same runtime row-ceiling guard as
+    byte_budget_admission protects the single-task window.
     """
     if bounded_input:
         out = df.withColumn(
-            "__rn", F.row_number().over(Window.orderBy(*order_by)).cast("long")
+            "__rn",
+            F.row_number().over(Window.orderBy(*order_by)).cast("long")
+            + _bounded_row_guard(order_by, max_bounded_rows),
         )
     else:
         out = _ranged_prefix(df, order_by, F.lit(1), "__rn", use_row_number=True).drop(
