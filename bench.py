@@ -114,8 +114,12 @@ def main() -> None:
     # the whole performance signal — record {"err": ...} for it and
     # keep timing the rest (round-3 postmortem: a single
     # AnalysisException cost the round every number).
+    # SPARK_GRAFT_BENCH_RUNS overrides the run count (min 2: one cold +
+    # >=1 warm) — used by the sf1 scale rehearsal where 5 runs over a
+    # 10x corpus would burn most of the signal-gathering budget.
     import statistics
 
+    n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -126,7 +130,7 @@ def main() -> None:
         spec = REGISTRY[name]
         warm: list[float] = []
         try:
-            for i in range(5):
+            for i in range(n_runs):
                 t0 = time.time()
                 spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
@@ -147,8 +151,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "runs": 5,
-        "stat": "min-of-4-warm",
+        "runs": n_runs,
+        "stat": f"min-of-{n_runs - 1}-warm",
         "median_total_sec": round(sum(medians.values()), 3),
         "queries_median": medians,
         "queries_rel_spread": spreads,

@@ -253,3 +253,68 @@ def test_hashed_shingle_variants_match_string_keyed(spark):
         assert must in p_s and must in p_h
     # and neither basis invents pairs across disjoint shingle sets
     assert (1, 6) not in p_s and (1, 6) not in p_h
+
+
+def test_shard_export_balanced_and_deterministic(spark, sf_dir):
+    """Shard assignment must be balanced (hash spread), positionally
+    dense (pos = 1..shard_size with no gaps — the property a shard
+    writer relies on), and bit-for-bit reproducible across builds."""
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    build = REGISTRY["shard_export_assignment"].build
+    rows = build(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 16
+    # balance: md5 spread over 16 shards; 500 rows => expect ~31/shard,
+    # allow wide but bounded imbalance
+    assert max(sizes) <= 3 * min(sizes), sizes
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # determinism across independent builds
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in build(spark, sf_dir).collect()}
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows} == again
+
+
+def test_semantic_dedup_flags_identical_vectors(spark, tmp_path):
+    """Two identical embeddings always land in the same cluster
+    (identical centroid scores) and the larger id is flagged as a
+    semantic dup of the smaller — cosine 1.0 >= tau by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(320, 64)).astype(np.float32)
+    vecs[301] = vecs[300]  # exact pair, ids far from the centroid ids
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(320, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array((np.arange(320) % 10).astype(np.int32)),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    out = {
+        r["vec_id"]: r
+        for r in REGISTRY["semantic_dedup_flags"].build(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 320
+    assert out[300]["cent_id"] == out[301]["cent_id"]
+    # 301 must be flagged (cosine 1.0 with 300 >= tau); dup_of is the
+    # MIN qualifying id, so it is at most 300 (another in-cluster
+    # member may also clear tau with a smaller id)
+    assert out[301]["dup_of"] is not None and out[301]["dup_of"] <= 300
+    assert out[301]["kept"] is False
+    # every flagged dup references a smaller-id member of the same cluster
+    for r in out.values():
+        if r["dup_of"] is not None:
+            assert r["dup_of"] < r["vec_id"]
+            assert out[r["dup_of"]]["cent_id"] == r["cent_id"]

@@ -238,3 +238,39 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.when(h < 8, "train").when(h == 8, "val").otherwise(F.lit("test")).alias("split"),
     )
+
+
+@register(
+    "shard_export_assignment",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_HEXINT_SQL.format(x="'shard:' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents
+    )
+    SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Training-export shard assignment: the deterministic global "
+    "shuffle that turns a curated corpus into N balanced shards for "
+    "the trainer. Shard = stable hash of the doc id (md5-based, "
+    "engine-portable); within-shard position = rank by the SAME hash, "
+    "so the write order is a reproducible pseudo-random permutation "
+    "(no seed state, no driver-side shuffle). At 100 TB this is "
+    "repartition(shard) + sortWithinPartitions(hash) feeding "
+    "partitionBy(shard) parquet — one shuffle, and re-running the "
+    "export bit-for-bit reproduces every shard. The hash-ordered "
+    "position also de-clusters crawl locality (adjacent ids land in "
+    "different shards and far-apart positions), which is what the "
+    "trainer needs from a 'shuffled' dataset.",
+)
+def shard_export_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = hexint(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    assigned = docs.select("doc_id", hv.alias("hv"), (hv % 16).cast("int").alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return assigned.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )

@@ -196,12 +196,11 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text", bits=16)
 
 
-@register(
-    "dedup_clusters",
-    # the recursive member needs RECURSIVE declared at the head of the
-    # whole CTE chain
-    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
-    + f"""
+# MinHash-LSH pairs → recursive-CTE connected components, ending in a
+# `comp(node, component)` CTE — shared by dedup_clusters and the
+# canonical-pick query built on top of it. The recursive member needs
+# RECURSIVE declared at the head of the whole CTE chain.
+_COMPONENTS_CHAIN = _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks") + f"""
     , base AS (
       SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
     ), hashes AS (
@@ -225,10 +224,16 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a, a FROM sym
       UNION
       SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+    ), comp AS (
+      SELECT node, CAST(MIN(root) AS BIGINT) AS component
+      FROM reach GROUP BY node
     )
-    SELECT node, CAST(MIN(root) AS BIGINT) AS component
-    FROM reach GROUP BY node
-    """,
+"""
+
+
+@register(
+    "dedup_clusters",
+    _COMPONENTS_CHAIN + "SELECT node, component FROM comp",
     doc="Dedup clustering: MinHash-LSH candidate pairs → connected "
     "components by min-label propagation — the cluster resolution step "
     "that turns near-dup PAIRS into keep/drop decisions (keep min-id "
@@ -424,4 +429,60 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel",
             F.round(F.col("n_novel") / F.col("n_shingles") + F.lit(5e-10), 4).alias("novelty"),
         )
+    )
+
+
+@register(
+    "dedup_canonical_pick",
+    _COMPONENTS_CHAIN
+    + """
+    , every AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), canon AS (
+      SELECT cluster, doc_id AS canon_id FROM (
+        SELECT cluster, doc_id,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM every) WHERE rn = 1
+    )
+    SELECT e.doc_id, e.cluster, c.canon_id, e.doc_id = c.canon_id AS kept
+    FROM every e JOIN canon c ON c.cluster = e.cluster
+    """,
+    doc="Dedup cluster resolution, applied: turn near-dup clusters "
+    "(MinHash-LSH pairs -> connected components) into per-document "
+    "keep/replace decisions over the WHOLE corpus — singletons keep "
+    "themselves; within a cluster the canonical survivor is the "
+    "highest-quality member (longest text, ties to min id), not "
+    "blindly the min id, which is how a curation pipeline actually "
+    "retires near-duplicates. One extra hash-partitioned window over "
+    "the cluster id and a broadcast-size join back; the component "
+    "step's iterative min-label propagation (operators/graph.py) "
+    "remains the only multi-pass stage.",
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_min_label
+    from ..operators.topk import top_k_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
+    bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+    pairs = lsh_candidates(bands, "doc_id").selectExpr("a_id AS src", "b_id AS dst")
+    comp = connected_components_min_label(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
+    )
+    every = docs.join(comp, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster"),
+        "n_chars",
+    )
+    canon = top_k_by(
+        every, ["cluster"], [F.desc("n_chars"), F.asc("doc_id")], k=1, rank_col="__r"
+    ).select("cluster", F.col("doc_id").alias("canon_id"))
+    return every.join(canon, on="cluster").select(
+        "doc_id",
+        "cluster",
+        "canon_id",
+        (F.col("doc_id") == F.col("canon_id")).alias("kept"),
     )

@@ -1804,3 +1804,119 @@ def uved_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "error_info", F.nullif(F.col("_err_tag"), F.lit(""))
     ).drop("_err_tag")
+
+
+@register(
+    "stream_session_counts",
+    """
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 4 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks
+    ), agg AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT session_start, user_id, n FROM agg, mx
+    WHERE last_ts + INTERVAL 4 HOUR <= mx.max_ts
+    """,
+    doc="Sessionization under the driver gate, STREAMING leg: the real "
+    "session-window stream (streaming/state_machine.stream_session_"
+    "counts — F.session_window, 4h gap, append mode, AvailableNow) "
+    "drains the events log and its emitted CLOSED sessions are value-"
+    "hashed against the batch gaps-and-islands twin (new session when "
+    "the gap is >= 4h — session windows are half-open [start, "
+    "last+gap), so an event landing exactly at the boundary opens a "
+    "new session; only sessions whose end precedes the final "
+    "watermark = max event time are emitted). At 100 TB the state "
+    "store holds one open session per active key and each micro-batch "
+    "touches only arriving keys — vs the batch twin's full-history "
+    "window scan per cadence tick.",
+)
+def stream_session_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.state_machine import stream_session_counts
+
+    work = tempfile.mkdtemp(prefix="welearn_stream_sc_")
+    try:
+        events_dir = f"{work}/events"
+        os.makedirs(events_dir)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+        stream_session_counts(spark, events_dir, f"{work}/ckpt", f"{work}/out")
+        out = spark.read.parquet(f"{work}/out").select("session_start", "user_id", "n")
+        # bounded: ≤ one row per (user, closed session); pin locally so
+        # the scratch dir is removed instead of leaking per build()
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 17 != 0
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 19 != 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+    """,
+    doc="Corpus snapshot diff (batch CDC, extending R5): two corpus "
+    "versions are compared by content hash in one co-partitioned "
+    "FULL OUTER join on the id and classified added / deleted / "
+    "changed; unchanged rows — the overwhelming majority at 100 TB — "
+    "are filtered before anything downstream sees them, which is what "
+    "makes incremental re-embedding / re-indexing of a refreshed "
+    "crawl affordable (process the diff, not the corpus). Both sides "
+    "shuffle once on the join key (zero times if the snapshots are "
+    "bucketed on id, the layout a snapshot store should use); the "
+    "hash comparison is a map-side md5 over the content column. The "
+    "two versions here are deterministic slices of the documents "
+    "table (mod-17 additions, mod-19 deletions, mod-13 edits) so the "
+    "diff is reproducible cross-engine.",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = docs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("h").alias("n_h"))
+    joined = o.join(n, o.o_id == n.n_id, "full_outer")
+    return joined.filter(
+        F.col("o_id").isNull() | F.col("n_id").isNull() | (F.col("o_h") != F.col("n_h"))
+    ).select(
+        F.coalesce("o_id", "n_id").alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "deleted")
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )

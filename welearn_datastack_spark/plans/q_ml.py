@@ -270,14 +270,24 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).select(
         F.col("vec_id").alias("cent_id"), "embedding"
     )
-    # nearest-centroid scores for every vector (centroids broadcast)
+    # nearest-centroid scores for every vector — the CENTROIDS are the
+    # broadcast side (k rows; broadcasting the corpus would invert the
+    # build side and break at scale), and corpus-side assignment is a
+    # map-side-combinable arg-max (max_by under partial aggregation)
+    # instead of a window, so the only assignment shuffle carries one
+    # pre-reduced row per vector
     to_cent = cosine_pairs(
-        emb.select(F.col("vec_id").alias("q_id"), "embedding"),
-        centroids.select(F.col("cent_id").alias("c_id"), "embedding"),
-    ).select(F.col("q_id").alias("vec_id"), F.col("c_id").alias("cent_id"), F.col("cosine").alias("cos"))
+        centroids.select(F.col("cent_id").alias("q_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+    ).select(F.col("c_id").alias("vec_id"), F.col("q_id").alias("cent_id"), F.col("cosine").alias("cos"))
     assign = (
-        top_k_by(to_cent, ["vec_id"], [F.desc("cos"), F.asc("cent_id")], k=1, rank_col="__r")
-        .filter(F.col("vec_id") >= 10)
+        to_cent.filter(F.col("vec_id") >= 10)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cent_id")
+        )
         .select(F.col("vec_id").alias("c_id"), "cent_id")
     )
     probes = (
@@ -641,4 +651,102 @@ def cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _split(spark, sf_dir)
     return blas_topk(queries, corpus.select("c_id", "embedding"), k=5).select(
         "q_id", "c_id", "cosine", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster the corpus with the coarse
+# quantizer, then compare ONLY within clusters — the pruning that makes
+# embedding dedup tractable when all-pairs is |C|².
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.28
+
+_SEMDEDUP_ORACLE = (
+    "WITH "
+    + _NORMS_CTE
+    + ", "
+    + _IVF_TAIL  # reuses cent/allv/cos_to_cent/assign (probes/cand/scored unused)
+    + f"""
+, mem AS (
+  SELECT a.vec_id, a.cent_id, v.ve FROM assign a JOIN allv v ON v.vec_id = a.vec_id
+), sem_pairs AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(x.ve[i] AS DOUBLE) * CAST(y.ve[i] AS DOUBLE)))
+               / (na.nrm * nb.nrm), 6) AS cos
+  FROM mem x JOIN mem y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+  JOIN norms na ON na.vec_id = x.vec_id
+  JOIN norms nb ON nb.vec_id = y.vec_id
+), dup AS (
+  SELECT b_id AS vec_id, MIN(a_id) AS dup_of
+  FROM sem_pairs WHERE cos >= {_SEMDEDUP_TAU} GROUP BY b_id
+)
+SELECT a.vec_id, a.cent_id, d.dup_of, d.dup_of IS NULL AS kept
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""
+)
+
+
+@register(
+    "semantic_dedup_flags",
+    _SEMDEDUP_ORACLE,
+    doc="Semantic dedup (SemDeDup-style; Abbas et al. 2023): assign "
+    "every vector to its nearest coarse centroid (broadcast table, "
+    "map-side pass — the same quantizer as ivf_ann_topk), then flag "
+    "near-duplicates by pairwise cosine >= tau ONLY within a cluster; "
+    "the min-id member of each semantic-dup group is kept. Pairwise "
+    "cost is bounded by cluster size, never |C|²: at 100 TB the "
+    "centroid count k scales with the corpus (k ~ n/target_cluster) "
+    "so per-cluster membership — and therefore the bucket-local "
+    "self-join each task performs — stays constant while the number "
+    "of clusters (= shuffle keys = parallelism) grows. The fixed "
+    "8-centroid quantizer here is the deterministic test instance of "
+    "that design, not its capacity limit.",
+)
+def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine, cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), "embedding"
+    )
+    # centroids are the BROADCAST side (k rows — never the corpus);
+    # assignment is a map-side-combinable arg-max (max_by under
+    # partial aggregation: the shuffle carries one pre-reduced row
+    # per vector, not k scored rows)
+    to_cent = cosine_pairs(
+        centroids.select(F.col("cent_id").alias("q_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("c_id"), "embedding"),
+    ).select(
+        F.col("c_id").alias("vec_id"),
+        F.col("q_id").alias("cent_id"),
+        F.col("cosine").alias("cos"),
+    )
+    assign = to_cent.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))).alias(
+            "cent_id"
+        )
+    )
+    mem = assign.join(emb, on="vec_id").select("vec_id", "cent_id", "embedding")
+    a = mem.select(
+        F.col("cent_id"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae")
+    )
+    b = mem.select(
+        F.col("cent_id"), F.col("vec_id").alias("b_id"), F.col("embedding").alias("be")
+    )
+    pairs = (
+        a.join(b, on="cent_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", F.round(cosine(F.col("ae"), F.col("be")), 6).alias("cos")
+        )
+    )
+    dup = (
+        pairs.filter(F.col("cos") >= F.lit(_SEMDEDUP_TAU))
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return assign.join(dup, on="vec_id", how="left").select(
+        "vec_id", "cent_id", "dup_of", F.col("dup_of").isNull().alias("kept")
     )

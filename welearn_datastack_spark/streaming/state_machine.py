@@ -220,3 +220,37 @@ def stream_enrich_join(
     )
     q.awaitTermination()
     return q
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap: str = "4 hours",
+    watermark: str = "0 seconds",
+) -> Any:
+    """Event-time SESSION windows per user (``F.session_window``): a
+    session is a maximal run of events where each is within ``gap`` of
+    the previous; its window is [first_ts, last_ts + gap). Append mode
+    emits a session once the watermark passes its end — the streaming
+    twin of the batch gaps-and-islands sessionization (q_text.
+    sessionization), with the state store holding one open session per
+    active key instead of re-scanning history each cadence tick."""
+    events = _read_event_stream(spark, events_path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
