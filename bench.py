@@ -82,6 +82,11 @@ HEADLINE = [
     "lsh_near_dup_pairs",
     "pdf_header_footer_strip",
     "simhash_near_pairs",
+    "semantic_dedup_flags",
+    "kmeans_3iter",
+    "dedup_canonical_pick",
+    "snapshot_diff",
+    "shard_export_assignment",
     "hal_extraction_roundtrip",
     "open_alex_extraction_roundtrip",
     "ted_extraction_roundtrip",

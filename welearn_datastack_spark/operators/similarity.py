@@ -255,3 +255,82 @@ def blas_topk(
 
     cand = corpus.select(c_id, vec_col).mapInPandas(run, schema=schema)
     return top_k_by(cand, [q_id], [F.desc("cosine"), F.asc(c_id)], k=k)
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential-order squared Euclidean distance between two float
+    arrays (per-element double cast, same precision contract as
+    ``dot`` so a SQL oracle reproduces it bit-for-bit pre-round)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fixed(
+    vectors: DataFrame,
+    init_ids: tuple,
+    n_iter: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over an embedding column — the
+    iterative-numeric clustering complement of the fixed coarse
+    quantizer (centroids LEARNED from the data instead of picked),
+    and the index-build step a production IVF would run.
+
+    Per iteration: (1) assignment — the k×dim centroid table is
+    broadcast and each vector scores against it map-side (squared
+    Euclidean; on L2-normalized corpora argmin-L2 == argmax-cosine),
+    reduced by a map-side-combinable ``min_by`` so the shuffle carries
+    one pre-reduced row per vector; (2) update — per-dimension
+    ``avg`` as k·dim partial aggregates (map-side combine, shuffle
+    carries k×dim partials, independent of corpus size);
+    ``localCheckpoint`` truncates lineage per iteration exactly as
+    the PageRank/BFS loops do (operators/graph.py). Distances and
+    updated centroid components are rounded to ``round_digits`` each
+    step so partial-aggregation order can never flip an assignment
+    across engines or runs. Fixed iterations (not convergence-test)
+    keep the result deterministic and oracle-checkable; production
+    loops until centroid drift < ε with the same body. A cluster that
+    loses every member drops out (no re-seeding), same as the SQL
+    twin. Returns the FINAL assignment (id, cluster, d2).
+    """
+    vid = F.col(id_col)
+    cents = (
+        vectors.filter(vid.isin(*init_ids))
+        .select(
+            vid.alias("cent_id"),
+            F.transform(F.col(vec_col), lambda x: F.round(_d(x), round_digits)).alias("ce"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assign = None
+    for it in range(n_iter):
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            vid,
+            F.col(vec_col),
+            F.col("cent_id"),
+            F.round(sqdist(F.col(vec_col), F.col("ce")), round_digits).alias("d2"),
+        )
+        assign = scored.groupBy(id_col).agg(
+            F.min_by("cent_id", F.struct(F.col("d2"), F.col("cent_id"))).alias("cluster"),
+            F.min("d2").alias("d2"),
+            F.first(F.col(vec_col)).alias("__v"),
+        )
+        if it < n_iter - 1:  # the final assignment IS the output — no
+            # update after it (an eager C_n would burn one k×dim
+            # shuffle for a table nothing reads)
+            cents = (
+                assign.groupBy(F.col("cluster").alias("cent_id"))
+                .agg(
+                    F.array(
+                        *[F.round(F.avg(F.col("__v")[i]), round_digits) for i in range(dim)]
+                    ).alias("ce")
+                )
+                .localCheckpoint(eager=True)
+            )
+    return assign.select(vid, "cluster", "d2")

@@ -750,3 +750,72 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.join(dup, on="vec_id", how="left").select(
         "vec_id", "cent_id", "dup_of", F.col("dup_of").isNull().alias("kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration Lloyd k-means: the learned-centroid complement of the
+# fixed coarse quantizer — unrolled CTE chain as the SQL twin.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(n_iter: int, dim: int = 64) -> str:
+    sq = (
+        "(CAST(v.embedding[i] AS DOUBLE) - c.ce[i])"
+        " * (CAST(v.embedding[i] AS DOUBLE) - c.ce[i])"
+    )
+    parts = [
+        f"""
+WITH c0 AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS ce
+  FROM embeddings WHERE vec_id IN ({_CENTROID_SQL})
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+, s{t} AS (
+  SELECT v.vec_id, c.cent_id,
+         ROUND(list_sum(list_transform(generate_series(1, {dim}),
+               i -> {sq})), 6) AS d2
+  FROM embeddings v CROSS JOIN c{t - 1} c
+), a{t} AS (
+  SELECT vec_id, cent_id AS cluster, d2 FROM (
+    SELECT vec_id, cent_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cent_id ASC) AS rn
+    FROM s{t}) WHERE rn = 1
+)""")
+        if t < n_iter:
+            parts.append(f"""
+, c{t} AS (
+  SELECT cluster AS cent_id, list(m ORDER BY i) AS ce FROM (
+    SELECT a.cluster, ge.i,
+           ROUND(AVG(CAST(v.embedding[ge.i] AS DOUBLE)), 6) AS m
+    FROM a{t} a JOIN embeddings v ON v.vec_id = a.vec_id,
+         unnest(generate_series(1, {dim})) AS ge(i)
+    GROUP BY a.cluster, ge.i) GROUP BY cluster
+)""")
+    parts.append(f"\nSELECT vec_id, cluster, d2 FROM a{n_iter}")
+    return "".join(parts)
+
+
+@register(
+    "kmeans_3iter",
+    _kmeans_oracle(3),
+    doc="Fixed-iteration Lloyd k-means over the embedding corpus "
+    "(operators/similarity.kmeans_fixed) — centroids LEARNED from the "
+    "data, i.e. the index-build step a production IVF runs before "
+    "ivf_ann_topk serves queries. Per iteration the k×dim centroid "
+    "table broadcasts and assignment is a map-side min_by reduce "
+    "(shuffle = one pre-reduced row per vector); the update shuffles "
+    "only k×dim avg partials; localCheckpoint truncates lineage per "
+    "step like PageRank/BFS. Distances and centroid components are "
+    "rounded each step so partial-agg order can never flip an "
+    "assignment cross-engine; the oracle is the same three steps "
+    "unrolled as CTEs.",
+)
+def kmeans_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, _CENTROID_IDS, n_iter=3)
