@@ -84,6 +84,8 @@ HEADLINE = [
     "simhash_near_pairs",
     "semantic_dedup_flags",
     "kmeans_3iter",
+    "ivf_learned_topk",
+    "bloom_prefilter_new_users",
     "dedup_canonical_pick",
     "snapshot_diff",
     "shard_export_assignment",

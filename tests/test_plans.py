@@ -137,6 +137,7 @@ _BNLJ_ALLOWED = {
     "ivf_ann_topk",                 # centroid table (k_centroids rows)
     "semantic_dedup_flags",         # centroid table (k_centroids rows)
     "kmeans_3iter",                 # centroid table (k_centroids rows)
+    "ivf_learned_topk",             # learned centroid table (k rows)
     "sq8_ann_topk",                 # bounded query-set broadcast
     "ann_recall_report",            # bounded query-set broadcast
     "ann_method_recall",            # same, x3 method branches

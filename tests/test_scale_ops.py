@@ -318,3 +318,24 @@ def test_semantic_dedup_flags_identical_vectors(spark, tmp_path):
         if r["dup_of"] is not None:
             assert r["dup_of"] < r["vec_id"]
             assert out[r["dup_of"]]["cent_id"] == r["cent_id"]
+
+
+def test_bloom_bitmap_no_false_negatives_and_prunes(spark):
+    """The prefilter contract: every member passes (no false
+    negatives — correctness of the downstream exact join depends on
+    it), and non-members are overwhelmingly rejected (the pruning
+    that makes the pattern worth running at 100 TB)."""
+    from welearn_datastack_spark.operators.relational import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    bitmap = bloom_bitmap(members, F.col("k"))
+    assert len(bitmap) == (1 << 16) // 64
+    assert members.filter(~bloom_might_contain(bitmap, F.col("k"))).count() == 0
+    strangers = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
+    fp = strangers.filter(bloom_might_contain(bitmap, F.col("k"))).count()
+    # 500 keys x 3 probes in 65536 bits -> fill ~2.3%, FPR ~ 1.2e-5;
+    # allow two orders of magnitude of slack
+    assert fp <= 20, fp

@@ -134,3 +134,61 @@ def test_stream_enrich_join_matches_batch(spark, tmp_path, events_dir):
     chans = {r["event_type"]: r["channel"] for r in got.select("event_type", "channel").distinct().collect()}
     assert chans.get("purchase") == "commerce"
     assert all(c == "other" for t, c in chans.items() if t not in ("click", "view", "purchase"))
+
+
+def test_stream_session_counts_merges_across_micro_batches(spark, tmp_path):
+    """A session whose events straddle two micro-batches must come out
+    as ONE merged session — this is the state-store property the
+    single-file driver gate can't see (there, everything lands in one
+    batch). Two files + maxFilesPerTrigger=1 force the boundary."""
+    import pandas as pd
+
+    from welearn_datastack_spark.streaming.state_machine import stream_session_counts
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+
+    def mk(rows, path):
+        pd.DataFrame(
+            {
+                "event_id": list(range(len(rows))),
+                "ts": [t0 + h * x for x, _u in rows],
+                "user_id": [u for _x, u in rows],
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(path, index=False)
+
+    events = tmp_path / "events"
+    events.mkdir()
+    # file A: u1 at 00:00 and 01:00; u2 at 00:30 (x in fractional hours)
+    mk([(0.0, 1), (1.0, 1), (0.5, 2)], events / "part-000.parquet")
+    # file B: u1 at 02:00 (merges into the session opened in file A,
+    # gap 4h) and 10:00 (new session); u2 sentinel at 20:00 closes all
+    mk([(2.0, 1), (10.0, 1), (20.0, 2)], events / "part-001.parquet")
+
+    stream_session_counts(
+        spark,
+        str(events),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        gap="4 hours",
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["n"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        # u1's straddling session: 00:00 + 01:00 (batch 1) + 02:00
+        # (batch 2) merged into one 3-event session
+        (1, (t0 + 0 * h).to_pydatetime(), 3),
+        # u1's later singleton, closed by the 20:00 watermark
+        (1, (t0 + 10 * h).to_pydatetime(), 1),
+        # u2's singleton from batch 1
+        (2, (t0 + 0.5 * h).to_pydatetime(), 1),
+        # u2's 20:00 sentinel session end (24:00) is past the final
+        # watermark (20:00) -> never emitted
+    }
+    assert got == want

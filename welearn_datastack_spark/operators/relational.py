@@ -9,7 +9,7 @@ shuffle-free on the big side even before AQE kicks in.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -59,3 +59,60 @@ def overwrite_by_key(existing: DataFrame, incoming: DataFrame, key: str) -> Data
     return existing.join(incoming.select(key).dropDuplicates([key]), on=key, how="left_anti").unionByName(
         incoming
     )
+
+
+def _shl1(nbits: Column) -> Column:
+    """1L << nbits with a COLUMN shift amount (F.shiftleft only takes a
+    Python int there; call_function reaches the SQL builtin, which
+    does)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), nbits)
+
+
+def bloom_bitmap(df: DataFrame, key: Column, m_bits: int = 1 << 16, k: int = 3) -> list:
+    """Build a Bloom-filter bitmap over ``key`` as a Python list of
+    ``m_bits / 64`` longs, via a distributed ``bit_or`` aggregation.
+
+    Spark's built-in bloom runtime filters (BloomFilterAggregate) are
+    injected by the optimizer but not exposed to SQL/DataFrame users,
+    so this is the same structure hand-rolled: k xxhash64 probes per
+    key, each setting one bit; per-word partial OR map-side; the final
+    bitmap is at most m_bits/64 rows (8 KiB at the default size) — a
+    BOUNDED metadata collect like compaction's file manifest, never
+    corpus-scaled. The caller embeds it as a literal array so the
+    probe side evaluates membership map-side with ZERO shuffle and no
+    broadcast table.
+    """
+    words = m_bits // 64
+    probes = df.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits)).alias(f"p{seed}")
+                for seed in range(k)
+            ])
+        ).alias("pos")
+    )
+    rows = (
+        probes.groupBy((F.col("pos") / 64).cast("int").alias("word"))
+        .agg(F.bit_or(_shl1((F.col("pos") % 64).cast("int"))).alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in rows:
+        bitmap[r["word"]] = r["bits"]
+    return bitmap
+
+
+def bloom_might_contain(bitmap: list, key: Column, m_bits: int = 1 << 16, k: int = 3) -> Column:
+    """Map-side Bloom membership test against a literal bitmap built by
+    ``bloom_bitmap`` (same m/k/seeds — no false negatives by
+    construction)."""
+    arr = F.lit(bitmap)  # array<long> literal, m_bits/64 elements
+    checks = []
+    for seed in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)  # 1-based
+        checks.append(word.bitwiseAND(_shl1((pos % 64).cast("int"))) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

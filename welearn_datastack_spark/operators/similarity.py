@@ -276,6 +276,7 @@ def kmeans_fixed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    with_centroids: bool = False,
 ) -> DataFrame:
     """Fixed-iteration Lloyd k-means over an embedding column — the
     iterative-numeric clustering complement of the fixed coarse
@@ -297,7 +298,9 @@ def kmeans_fixed(
     keep the result deterministic and oracle-checkable; production
     loops until centroid drift < ε with the same body. A cluster that
     loses every member drops out (no re-seeding), same as the SQL
-    twin. Returns the FINAL assignment (id, cluster, d2).
+    twin. Returns the FINAL assignment (id, cluster, d2); with
+    ``with_centroids`` also the final (cent_id, ce) centroid table —
+    the learned coarse quantizer an IVF index build feeds on.
     """
     vid = F.col(id_col)
     cents = (
@@ -333,4 +336,5 @@ def kmeans_fixed(
                 )
                 .localCheckpoint(eager=True)
             )
-    return assign.select(vid, "cluster", "d2")
+    out = assign.select(vid, "cluster", "d2")
+    return (out, cents) if with_centroids else out

@@ -1920,3 +1920,41 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("change"),
     )
+
+
+@register(
+    "bloom_prefilter_new_users",
+    """
+    SELECT event_id, user_id FROM events e
+    WHERE e.event_type = 'click'
+      AND NOT EXISTS (SELECT 1 FROM events s
+                      WHERE s.event_type = 'signup'
+                        AND s.user_id = e.user_id)
+    """,
+    doc="Bloom-prefiltered anti-join (incremental-ingest membership at "
+    "100 TB): clicks from users with no signup. The 'seen' key set is "
+    "folded into a hand-rolled Bloom bitmap (k xxhash64 probes, "
+    "bit_or partial agg, <=8 KiB collected — Spark's own "
+    "BloomFilterAggregate runtime filter is optimizer-internal, so "
+    "the same structure is built as data); the bitmap is embedded as "
+    "a LITERAL array so the big probe stream tests membership "
+    "MAP-SIDE with zero shuffle and no broadcast. Rows failing the "
+    "bloom are definitely-new and bypass the join entirely; only the "
+    "maybe-seen survivors (true positives + ~0.1% false positives) "
+    "reach the exact anti-join. Result is EXACTLY the plain anti-join "
+    "(no false negatives by construction; false positives removed by "
+    "the exact check) — which is why the oracle needs no cross-engine "
+    "hash parity. At 100 TB this turns 'shuffle the entire increment "
+    "against a 10B-row seen set' into 'shuffle the ~seen fraction'.",
+)
+def bloom_prefilter_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import bloom_bitmap, bloom_might_contain
+
+    ev = load_table(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    bitmap = bloom_bitmap(seen, F.col("user_id"))
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
+    maybe_seen = bloom_might_contain(bitmap, F.col("user_id"))
+    definitely_new = clicks.filter(~maybe_seen)
+    survivors = clicks.filter(maybe_seen).join(seen, on="user_id", how="left_anti")
+    return definitely_new.unionByName(survivors.select("event_id", "user_id"))

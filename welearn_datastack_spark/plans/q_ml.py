@@ -777,7 +777,7 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle(n_iter: int, dim: int = 64) -> str:
+def _kmeans_chain(n_iter: int, dim: int = 64) -> str:
     sq = (
         "(CAST(v.embedding[i] AS DOUBLE) - c.ce[i])"
         " * (CAST(v.embedding[i] AS DOUBLE) - c.ce[i])"
@@ -814,8 +814,11 @@ WITH c0 AS (
          unnest(generate_series(1, {dim})) AS ge(i)
     GROUP BY a.cluster, ge.i) GROUP BY cluster
 )""")
-    parts.append(f"\nSELECT vec_id, cluster, d2 FROM a{n_iter}")
     return "".join(parts)
+
+
+def _kmeans_oracle(n_iter: int, dim: int = 64) -> str:
+    return _kmeans_chain(n_iter, dim) + f"\nSELECT vec_id, cluster, d2 FROM a{n_iter}"
 
 
 @register(
@@ -838,3 +841,85 @@ def kmeans_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed(emb, _CENTROID_IDS, n_iter=3)
+
+
+_IVF_LEARNED_ORACLE = (
+    _kmeans_chain(3)
+    + """
+, kn AS (
+  SELECT vec_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings) GROUP BY vec_id
+), kv AS (SELECT vec_id, embedding AS ve FROM embeddings),
+klists AS (
+  SELECT vec_id AS c_id, cluster FROM a3 WHERE vec_id >= 10
+), kprobes AS (
+  SELECT vec_id AS q_id, cent_id AS cluster FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cent_id ASC) AS rn
+    FROM s3 WHERE vec_id < 10) WHERE rn <= 2
+), kcand AS (
+  SELECT p.q_id, l.c_id FROM kprobes p JOIN klists l ON l.cluster = p.cluster
+), kscored AS (
+  SELECT k.q_id, k.c_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(q.ve[i] AS DOUBLE) * CAST(c.ve[i] AS DOUBLE)))
+               / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM kcand k
+  JOIN kv q ON q.vec_id = k.q_id
+  JOIN kv c ON c.vec_id = k.c_id
+  JOIN kn nq ON nq.vec_id = k.q_id
+  JOIN kn nc ON nc.vec_id = k.c_id
+)
+SELECT q_id, c_id, cosine, rnk FROM (
+  SELECT q_id, c_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cosine DESC, c_id ASC) AS INT) AS rnk
+  FROM kscored) WHERE rnk <= 3
+"""
+)
+
+
+@register(
+    "ivf_learned_topk",
+    _IVF_LEARNED_ORACLE,
+    doc="Similarity search over a LEARNED quantizer — the full IVF "
+    "index-build-then-serve path: kmeans_3iter's Lloyd centroids "
+    "replace ivf_ann_topk's fixed seed vectors, the corpus is listed "
+    "by its final k-means assignment, queries probe their 2 nearest "
+    "learned centroids, and exact cosine reranks only the probed "
+    "lists. Learned centroids track the data distribution, so list "
+    "populations are balanced where fixed seeds would skew — the "
+    "property that keeps probe cost flat on a drifting 100 TB corpus. "
+    "Same plan skeleton as ivf_ann_topk (broadcast centroids, "
+    "map-side assignment, shuffle on list id).",
+)
+def ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine, kmeans_fixed, sqdist
+    from ..operators.topk import top_k_by
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fixed(emb, _CENTROID_IDS, n_iter=3, with_centroids=True)
+    lists = assign.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), "cluster"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    scored_q = queries.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("cent_id").alias("cluster"),
+        F.round(sqdist(F.col("embedding"), F.col("ce")), 6).alias("d2"),
+    )
+    probes = top_k_by(
+        scored_q, ["q_id"], [F.asc("d2"), F.asc("cluster")], k=2, rank_col="__r"
+    ).select("q_id", "cluster")
+    cand = probes.join(lists, on="cluster").select("q_id", "c_id")
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    scored = (
+        cand.join(F.broadcast(qv), on="q_id")
+        .join(cv, on="c_id")
+        .select("q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"))
+    )
+    return top_k_by(scored, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
+        "q_id", "c_id", "cosine", "rnk"
+    )

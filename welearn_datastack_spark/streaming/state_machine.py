@@ -43,15 +43,23 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def _read_event_stream(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Open the append-only event log as a stream with the file's OWN
     schema (a batch read supplies it — streaming file sources require
     an explicit schema), then normalize ``ts`` to TIMESTAMP. Hard-coding
     the schema here is what broke when the testdata writer switched
-    encodings; reading it from the files absorbs either encoding."""
+    encodings; reading it from the files absorbs either encoding.
+    ``max_files_per_trigger`` caps files per micro-batch — tests use it
+    to force state (open sessions, dedup horizons) to carry ACROSS
+    micro-batch boundaries instead of resolving inside one batch."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
-    return normalize_ts(spark.readStream.schema(schema).parquet(events_path))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_ts(reader.parquet(events_path))
 
 
 def _update_latest(
@@ -229,6 +237,7 @@ def stream_session_counts(
     out_dir: str,
     gap: str = "4 hours",
     watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
 ) -> Any:
     """Event-time SESSION windows per user (``F.session_window``): a
     session is a maximal run of events where each is within ``gap`` of
@@ -237,7 +246,7 @@ def stream_session_counts(
     twin of the batch gaps-and-islands sessionization (q_text.
     sessionization), with the state store holding one open session per
     active key instead of re-scanning history each cadence tick."""
-    events = _read_event_stream(spark, events_path)
+    events = _read_event_stream(spark, events_path, max_files_per_trigger)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
