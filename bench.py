@@ -86,6 +86,7 @@ HEADLINE = [
     "kmeans_3iter",
     "ivf_learned_topk",
     "bloom_prefilter_new_users",
+    "cdc_chunk_dedup",
     "dedup_canonical_pick",
     "snapshot_diff",
     "shard_export_assignment",

@@ -339,3 +339,26 @@ def test_bloom_bitmap_no_false_negatives_and_prunes(spark):
     # 500 keys x 3 probes in 65536 bits -> fill ~2.3%, FPR ~ 1.2e-5;
     # allow two orders of magnitude of slack
     assert fp <= 20, fp
+
+
+def test_cdc_chunks_are_edit_stable(spark):
+    """THE content-defined-chunking property: inserting one token near
+    the head re-chunks only the edit's neighborhood — chunks past the
+    first re-synchronized boundary keep their hashes bit-for-bit
+    (fixed-size blocks would lose every downstream chunk)."""
+    from welearn_datastack_spark.operators.dedup import cdc_chunks
+
+    rng = np.random.default_rng(3)
+    words = [f"w{int(x)}" for x in rng.integers(0, 50, 400)]
+    original = " ".join(words)
+    edited = " ".join(["inserted"] + words)
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df, "doc_id", "text", window=4, divisor=16).collect()
+    h1 = [r["chunk_hash"] for r in out if r["doc_id"] == 1]
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    assert len(h1) >= 10  # ~400/16 chunks — the corpus is long enough
+    shared = sum(1 for h in h1 if h in h2)
+    # only the first chunk (the edit's own) may differ
+    assert shared >= len(h1) - 1, (shared, len(h1))

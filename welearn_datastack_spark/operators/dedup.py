@@ -448,3 +448,66 @@ def simhash_near_pairs(
             "hamming",
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries): split each
+    document into variable-length token chunks whose CUT POINTS depend
+    only on local content — the property that makes chunk hashes
+    stable under insertions/deletions (an edit re-chunks its
+    neighborhood only, unlike fixed-size blocks where everything
+    downstream shifts). A position i ends a chunk when the hash of the
+    ``window`` tokens ending at i ≡ 0 (mod ``divisor``) — expected
+    chunk length = divisor tokens.
+
+    All Catalyst array algebra, no Python: boundary positions come
+    from one ``filter`` over the position range (O(words) md5s per
+    doc), chunk spans from zipping the boundary array with itself
+    shifted — never an O(words²) prefix scan. Emits one row per
+    chunk: (id, chunk_idx, chunk_len, chunk_hash) — chunk_hash is the
+    dedup key: at 100 TB, grouping by it dedups STORAGE at sub-document
+    granularity (the rsync/LBFS/backup-dedup trick applied to corpus
+    snapshots), catching shared boilerplate that document-level
+    hashing misses and span-level shingling only measures.
+    """
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+    toks = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0).alias("__t"),
+    ).withColumn("__n", F.size("__t")).filter(F.col("__n") >= 1)
+    # candidate cut positions window..n-1 (a cut after the final token
+    # would make an empty chunk); sequence() must stay total — Spark
+    # generates DESCENDING sequences when stop < start
+    cand = F.when(
+        F.col("__n") - 1 >= window, F.sequence(F.lit(window), F.col("__n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    isb = lambda i: hexint(F.array_join(F.slice(F.col("__t"), i - (window - 1), window), " ")) % divisor == 0  # noqa: E731
+    bf = F.concat(
+        F.array(F.lit(0)), F.filter(cand, isb), F.array(F.col("__n"))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bf) - 1),
+        lambda k: F.struct(
+            k.alias("ci"),
+            (F.element_at(bf, k) + 1).alias("s"),
+            F.element_at(bf, k + 1).alias("e"),
+        ),
+    )
+    rows = toks.select(F.col(id_col), F.col("__t"), F.explode(chunks).alias("c"))
+    return rows.select(
+        F.col(id_col),
+        F.col("c.ci").alias("chunk_idx"),
+        (F.col("c.e") - F.col("c.s") + 1).alias("chunk_len"),
+        hexint(
+            F.array_join(
+                F.slice(F.col("__t"), F.col("c.s"), F.col("c.e") - F.col("c.s") + 1), " "
+            )
+        ).alias("chunk_hash"),
+    )

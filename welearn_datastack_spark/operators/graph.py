@@ -76,6 +76,12 @@ def connected_components_min_label(
         .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .dropDuplicates(["a", "b"])
+        # pin the edge list ONCE: every iteration joins sym, and the
+        # caller's edges are often an expensive pipeline (the LSH
+        # candidate generator) — without this each round re-runs
+        # shingle→minhash→bands→pairs from the scan (measured ~3x
+        # on dedup_canonical_pick at sf0.1)
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))

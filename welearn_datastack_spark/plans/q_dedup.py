@@ -486,3 +486,60 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canon_id",
         (F.col("doc_id") == F.col("canon_id")).alias("kept"),
     )
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1
+    ), bnd AS (
+      SELECT doc_id, t, n,
+             [i for i in generate_series(4, n - 1)
+              if {_HEXINT.format(x="array_to_string(t[i-3:i], ' ')")} % 16 = 0] AS b
+      FROM base
+    ), bf AS (
+      SELECT doc_id, t, list_concat(list_concat([0], b), [n]) AS cuts FROM bnd
+    ), chunks AS (
+      SELECT doc_id, k AS chunk_idx,
+             cuts[k] + 1 AS s, cuts[k + 1] AS e, t
+      FROM bf, unnest(generate_series(1, len(cuts) - 1)) AS g(k)
+    ), hashed AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             CAST(e - s + 1 AS INT) AS chunk_len,
+             {_HEXINT.format(x="array_to_string(t[s:e], ' ')")} AS chunk_hash
+      FROM chunks
+    ), shared AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY chunk_hash
+    )
+    SELECT h.doc_id, h.chunk_idx, h.chunk_len, s.nd > 1 AS is_shared
+    FROM hashed h JOIN shared s ON s.chunk_hash = h.chunk_hash
+    """,
+    doc="Content-defined chunking + chunk-level dedup (rolling-hash "
+    "boundaries, window 4, divisor 16 => ~16-token chunks): cut "
+    "points depend only on local content, so chunk hashes survive "
+    "edits that would shift every fixed-size block — the "
+    "rsync/LBFS/backup-dedup trick applied to corpus snapshots. "
+    "is_shared marks chunks appearing in more than one document "
+    "(sub-document boilerplate that document-hash dedup misses). One "
+    "map-side pass builds chunks (operators/dedup.cdc_chunks, pure "
+    "Catalyst array algebra); the only shuffle is the chunk_hash "
+    "group — at 100 TB that is the storage-dedup exchange and its "
+    "keys are 8-byte longs.",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, "doc_id", "text", window=4, divisor=16)
+    shared = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("__nd")
+    )
+    return ch.join(shared, on="chunk_hash").select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+        (F.col("__nd") > 1).alias("is_shared"),
+    )
