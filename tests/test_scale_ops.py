@@ -362,3 +362,33 @@ def test_cdc_chunks_are_edit_stable(spark):
     shared = sum(1 for h in h1 if h in h2)
     # only the first chunk (the edit's own) may differ
     assert shared >= len(h1) - 1, (shared, len(h1))
+
+
+def test_bloom_prefilter_keeps_null_key_rows(spark, tmp_path):
+    """SQL equality never matches NULL, so NOT-EXISTS keeps null-key
+    probe rows — but xxhash64(NULL) is NULL, which would silently drop
+    them from BOTH bloom branches without the coalesce guard in
+    bloom_prefilter_new_users."""
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "user_id": pd.array([10, 10, None, 99], dtype="Int64"),
+            "event_type": ["signup", "click", "click", "click"],
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    got = {
+        (r["event_id"], r["user_id"])
+        for r in REGISTRY["bloom_prefilter_new_users"].build(spark, str(tmp_path)).collect()
+    }
+    # click by signed-up user 10 excluded; null-key click and
+    # never-seen user 99 both kept — exactly NOT EXISTS semantics
+    assert got == {(3, None), (4, 99)}

@@ -476,6 +476,10 @@ def cdc_chunks(
     snapshots), catching shared boilerplate that document-level
     hashing misses and span-level shingling only measures.
     """
+    # with ANSI off, window/divisor of 0 would null the hash modulo and
+    # silently produce one whole-document chunk — fail loudly instead
+    assert window >= 1, "window must be a positive token count"
+    assert divisor >= 1, "divisor must be a positive modulus"
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
     toks = docs.select(

@@ -82,7 +82,14 @@ def bloom_bitmap(df: DataFrame, key: Column, m_bits: int = 1 << 16, k: int = 3) 
     probe side evaluates membership map-side with ZERO shuffle and no
     broadcast table.
     """
+    assert m_bits >= 64 and m_bits % 64 == 0, "m_bits must be a positive multiple of 64"
+    assert k >= 1, "k must be >= 1"
     words = m_bits // 64
+    # null keys can't set bits (xxhash64(NULL) is NULL) — drop them
+    # here; membership of NULL is the CALLER's semantic decision
+    # (SQL equality never matches NULL, so NOT-EXISTS-style callers
+    # must route null-key rows around the filter entirely)
+    df = df.filter(key.isNotNull())
     probes = df.select(
         F.explode(
             F.array(*[
@@ -106,6 +113,7 @@ def bloom_might_contain(bitmap: list, key: Column, m_bits: int = 1 << 16, k: int
     """Map-side Bloom membership test against a literal bitmap built by
     ``bloom_bitmap`` (same m/k/seeds — no false negatives by
     construction)."""
+    assert len(bitmap) * 64 == m_bits, "bitmap length must match m_bits"
     arr = F.lit(bitmap)  # array<long> literal, m_bits/64 elements
     checks = []
     for seed in range(k):

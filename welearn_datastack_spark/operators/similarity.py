@@ -302,6 +302,8 @@ def kmeans_fixed(
     ``with_centroids`` also the final (cent_id, ce) centroid table —
     the learned coarse quantizer an IVF index build feeds on.
     """
+    assert n_iter >= 1, "n_iter must be >= 1"
+    assert len(init_ids) >= 1, "init_ids must seed at least one centroid"
     vid = F.col(id_col)
     cents = (
         vectors.filter(vid.isin(*init_ids))

@@ -1954,7 +1954,14 @@ def bloom_prefilter_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
     bitmap = bloom_bitmap(seen, F.col("user_id"))
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id")
-    maybe_seen = bloom_might_contain(bitmap, F.col("user_id"))
+    # null-key rows: xxhash64(NULL) is NULL, so the bloom test is NULL
+    # and BOTH filter branches would silently drop them — but SQL
+    # equality never matches NULL, so NOT EXISTS keeps null-key clicks.
+    # coalesce(. , false) routes them down the definitely-new path,
+    # matching the oracle exactly.
+    maybe_seen = F.coalesce(
+        bloom_might_contain(bitmap, F.col("user_id")), F.lit(False)
+    )
     definitely_new = clicks.filter(~maybe_seen)
     survivors = clicks.filter(maybe_seen).join(seen, on="user_id", how="left_anti")
     return definitely_new.unionByName(survivors.select("event_id", "user_id"))
