@@ -87,6 +87,7 @@ HEADLINE = [
     "ivf_learned_topk",
     "bloom_prefilter_new_users",
     "cdc_chunk_dedup",
+    "multimodal_pipeline",
     "dedup_canonical_pick",
     "snapshot_diff",
     "shard_export_assignment",

@@ -116,3 +116,99 @@ def sample_frames(
         F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)),
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("frame_index", F.explode(idx))
+
+
+RESIZE_FIELDS = [
+    T.StructField("resized_width", T.IntegerType()),
+    T.StructField("resized_height", T.IntegerType()),
+    T.StructField("resized_checksum", T.StringType()),
+]
+
+
+def resize_media(
+    df: DataFrame,
+    max_side: int = 256,
+    payload_col: str = "payload",
+    resize_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+) -> DataFrame:
+    """Resize stage: fit (width, height) into a ``max_side`` box
+    preserving aspect ratio — one mapInPandas pass adding
+    (resized_width, resized_height, resized_checksum). The pixel
+    transform is STUBBED (no image libs in this container): the stub
+    computes the real target geometry and a deterministic checksum of
+    the would-be output (md5(md5(payload) ++ geometry)), so the stage's
+    plumbing — schema, Arrow batch shape, geometry arithmetic — is
+    exercised end-to-end and a PIL/torchvision ``resize_fn`` drops in
+    without touching the plan."""
+    from ..session import ensure_self_on_executors
+
+    ensure_self_on_executors(df.sparkSession)
+    schema = T.StructType(list(df.schema.fields) + RESIZE_FIELDS)
+
+    def stub(pdf: pd.DataFrame) -> pd.DataFrame:
+        scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+        rw = (pdf["width"] * scale).astype(float).apply(int)
+        rh = (pdf["height"] * scale).astype(float).apply(int)
+        ck = [
+            hashlib.md5(
+                f"{hashlib.md5(b).hexdigest()}x{w}x{h}".encode()
+            ).hexdigest()
+            for b, w, h in zip(pdf[payload_col], rw, rh)
+        ]
+        return pd.DataFrame(
+            {"resized_width": rw, "resized_height": rh, "resized_checksum": ck}
+        )
+
+    fn = resize_fn or stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = fn(pdf)
+            yield pd.concat([pdf.reset_index(drop=True), out.reset_index(drop=True)], axis=1)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def extract_frame_features(
+    df: DataFrame,
+    dim: int = 4,
+    checksum_col: str = "resized_checksum",
+    frame_col: str = "frame_index",
+    feature_fn: Callable[[pd.DataFrame], pd.Series] | None = None,
+) -> DataFrame:
+    """Per-frame feature extraction: one mapInPandas pass adding a
+    ``features`` float array per (media, frame) row — the image/video
+    embedding stage. STUB features are md5-derived per (checksum,
+    frame): 4-hex-digit groups scaled by /65536 — every value is an
+    EXACT dyadic double (k/2^16), so no rounding is applied anywhere
+    and cross-engine equality is exact (Python banker's rounding vs
+    SQL half-up would diverge on the k-values whose scaled form lands
+    on .5). The whole decode→resize→sample→featurize chain is thereby
+    hash-checkable against a SQL oracle; a real vision model
+    (executor-cached, like functions/udfs.py's text embedder) replaces
+    ``feature_fn`` only."""
+    from ..session import ensure_self_on_executors
+
+    ensure_self_on_executors(df.sparkSession)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("features", T.ArrayType(T.DoubleType()))]
+    )
+
+    def stub(pdf: pd.DataFrame) -> pd.Series:
+        def feats(ck: str, fr: int) -> list:
+            h = hashlib.md5(f"{ck}:{fr}".encode()).hexdigest()
+            return [int(h[4 * j : 4 * j + 4], 16) / 65536.0 for j in range(dim)]
+
+        return pd.Series(
+            [feats(c, f) for c, f in zip(pdf[checksum_col], pdf[frame_col])]
+        )
+
+    fn = feature_fn or stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            pdf["features"] = fn(pdf).reset_index(drop=True)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

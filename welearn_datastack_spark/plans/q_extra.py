@@ -1965,3 +1965,90 @@ def bloom_prefilter_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     definitely_new = clicks.filter(~maybe_seen)
     survivors = clicks.filter(maybe_seen).join(seen, on="user_id", how="left_anti")
     return definitely_new.unionByName(survivors.select("event_id", "user_id"))
+
+
+# DuckDB twin of the multimodal stubs' hex-folding: first `n` hex chars
+# of an md5 STRING (already computed) starting at 1-based `p` → int
+_HEXFOLD = (
+    "list_reduce(list_transform(regexp_extract_all(substr({s}, {p}, {n}), '.'),"
+    " c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "multimodal_pipeline",
+    f"""
+    WITH dec AS (
+      SELECT doc_id, md5(text) AS ck0,
+             {_HEXFOLD.format(s="md5(text)", p=1, n=8)} AS h
+      FROM documents
+    ), geo AS (
+      SELECT doc_id, ck0,
+             CAST(64 + h % 512 AS INT) AS w,
+             CAST(64 + (h // 512) % 512 AS INT) AS hh,
+             CAST(1 + (h // 262144) % 32 AS INT) AS n_frames
+      FROM dec
+    ), rez AS (
+      SELECT doc_id, ck0, n_frames,
+             CAST(FLOOR(w * LEAST(1.0, 256.0 / GREATEST(w, hh))) AS INT) AS rw,
+             CAST(FLOOR(hh * LEAST(1.0, 256.0 / GREATEST(w, hh))) AS INT) AS rh
+      FROM geo
+    ), rck AS (
+      SELECT doc_id, n_frames, rw, rh,
+             md5(ck0 || 'x' || CAST(rw AS VARCHAR) || 'x' || CAST(rh AS VARCHAR)) AS rck
+      FROM rez
+    ), frames AS (
+      SELECT doc_id, rw, rh, rck, CAST(i AS INT) AS frame_index
+      FROM rck, unnest(generate_series(0, n_frames - 1, 8)) AS g(i)
+    ), feats AS (
+      SELECT doc_id, frame_index, rw, rh,
+             md5(rck || ':' || CAST(frame_index AS VARCHAR)) AS fh
+      FROM frames
+    )
+    SELECT doc_id, frame_index,
+           rw AS resized_width, rh AS resized_height,
+           {_HEXFOLD.format(s="fh", p=1, n=4)} / 65536.0 AS f0,
+           {_HEXFOLD.format(s="fh", p=5, n=4)} / 65536.0 AS f1,
+           {_HEXFOLD.format(s="fh", p=9, n=4)} / 65536.0 AS f2,
+           {_HEXFOLD.format(s="fh", p=13, n=4)} / 65536.0 AS f3
+    FROM feats
+    """,
+    doc="Multimodal pipeline end-to-end: binary payload -> typed "
+    "metadata -> stubbed DECODE (mapInPandas) -> aspect-preserving "
+    "RESIZE geometry (mapInPandas) -> FRAME-SAMPLE every 8th frame "
+    "(sequence explode) -> per-frame FEATURE-EXTRACT (mapInPandas, "
+    "4-d stub embedding). Every stub derives its output from md5 of "
+    "its input, so the full four-stage Arrow chain — schemas, batch "
+    "shapes, geometry arithmetic, frame fan-out — is value-hashed "
+    "against a SQL twin; real codecs (PIL/ffmpeg/vision model) drop "
+    "into the three stub hooks without touching the plan. Features "
+    "are exact dyadic doubles (k/2^16) — no rounding anywhere, so "
+    "cross-engine equality is exact.",
+)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_media,
+        decode_media,
+        extract_frame_features,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    media = attach_media(docs, "payload", mime="image/jpeg")
+    decoded = decode_media(media, "payload")
+    resized = resize_media(decoded, max_side=256, payload_col="payload")
+    sampled = sample_frames(resized, every_n=8)
+    featured = extract_frame_features(sampled, dim=4)
+    return featured.select(
+        "doc_id",
+        "frame_index",
+        "resized_width",
+        "resized_height",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
+        F.col("features")[3].alias("f3"),
+    )
