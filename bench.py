@@ -53,6 +53,7 @@ HEADLINE = [
     "byte_budget_admission",
     "sessionization",
     "asof_join_last_click",
+    "asof_join_nearest_click",
     "range_join_nearby_events",
     "salted_aggregation",
     "cosine_topk",

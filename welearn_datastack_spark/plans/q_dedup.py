@@ -532,14 +532,20 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import cdc_chunks
 
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     ch = cdc_chunks(docs, "doc_id", "text", window=4, divisor=16)
-    shared = ch.groupBy("chunk_hash").agg(
-        F.countDistinct("doc_id").alias("__nd")
-    )
-    return ch.join(shared, on="chunk_hash").select(
+    # sharing via ONE window over the chunk-hash clustering instead of
+    # an agg + join-back: same single shuffle key, but the chunk build
+    # runs once (the join shape evaluates its lineage on both sides)
+    # and there is no second join exchange. collect_set is bounded by
+    # a chunk's owner count — shared chunks are boilerplate, not the
+    # corpus.
+    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("chunk_hash")))
+    return ch.select(
         "doc_id",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.col("chunk_len").cast("int").alias("chunk_len"),
-        (F.col("__nd") > 1).alias("is_shared"),
+        (nd > 1).alias("is_shared"),
     )

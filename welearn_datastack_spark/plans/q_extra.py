@@ -2052,3 +2052,57 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[2].alias("f2"),
         F.col("features")[3].alias("f3"),
     )
+
+
+@register(
+    "asof_join_nearest_click",
+    """
+    SELECT event_id, user_id, nearest_click_ts FROM (
+      SELECT p.event_id, p.user_id, c.ts AS nearest_click_ts,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts, c.event_id
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+    ) WHERE rn = 1
+    """,
+    doc="Extension: NEAREST-neighbor as-of join — for each purchase, "
+    "the user's click with minimal |Δt| in EITHER direction (ties to "
+    "the earlier click), completing the as-of family next to the "
+    "backward carry-forward variant. Spark realization: the SAME "
+    "single user/time clustering carries the last click backward AND "
+    "the first click forward (two window frames over one shuffle — "
+    "no inequality join, no second exchange), then a map-side "
+    "comparison picks the nearer side. Oracle: the naive per-pair "
+    "min-|Δt| join.",
+)
+def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    # clicks sort before purchases at equal ts: a click at exactly p.ts
+    # is captured by the INCLUSIVE backward frame (|Δt| = 0 wins), and
+    # the forward frame stays strictly-after
+    kind = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    base = Window.partitionBy("user_id").orderBy(F.col("ts"), kind, F.col("event_id"))
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = ev.withColumn(
+        "bwd", F.last(click_ts, ignorenulls=True).over(wb)
+    ).withColumn("fwd", F.first(click_ts, ignorenulls=True).over(wf))
+    db = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bwd"))
+    df_ = F.unix_micros(F.col("fwd")) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("fwd").isNull(), F.col("bwd"))
+        .when(F.col("bwd").isNull(), F.col("fwd"))
+        # equal deltas -> the earlier (backward) click, matching the
+        # oracle's (|Δt|, ts) ordering
+        .when(db <= df_, F.col("bwd"))
+        .otherwise(F.col("fwd"))
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", nearest.alias("nearest_click_ts")
+    )
