@@ -55,6 +55,8 @@ HEADLINE = [
     "asof_join_last_click",
     "asof_join_nearest_click",
     "range_join_nearby_events",
+    "resample_1h_gapfill",
+    "event_funnel_conversion",
     "salted_aggregation",
     "cosine_topk",
     "cosine_topk_blas",

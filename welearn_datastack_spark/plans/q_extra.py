@@ -2106,3 +2106,109 @@ def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", nearest.alias("nearest_click_ts")
     )
+
+
+@register(
+    "resample_1h_gapfill",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events WHERE user_id % 50 = 0 GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, CAST(g.h AS TIMESTAMP) AS hour
+      FROM bounds, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g(h)
+    ), agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS total
+      FROM events WHERE user_id % 50 = 0 GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT g.user_id, g.hour,
+           COALESCE(a.n, 0) AS n, COALESCE(a.total, 0.0) AS total
+    FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.hour = g.hour
+    """,
+    doc="Time-series resample with gap filling: hourly activity per "
+    "key over each key's OWN [first, last] hour range, absent hours "
+    "materialized as zero rows — what every monitoring/training-"
+    "telemetry rollup needs before windowed models see the series "
+    "(a missing hour and an idle hour must be distinguishable). "
+    "Scale shape: the dense grid comes from a per-key sequence "
+    "explode of the bounds row — |keys| + |rows| work, NEVER a "
+    "calendar cross join — and the grid/agg join rides the same "
+    "user clustering as the aggregation. The mod-50 key slice keeps "
+    "the demo grid bounded; the plan is slice-agnostic.",
+)
+def resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    hour = F.date_trunc("hour", F.col("ts"))
+    agg = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return grid.join(agg, on=["user_id", "hour"], how="left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+@register(
+    "event_funnel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+      CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_signup_then_click,
+      CAST(SUM(CASE WHEN t_click > t_signup AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+    doc="Ordered event funnel: users who signed up, then clicked "
+    "AFTER signing up, then purchased AFTER that first click — the "
+    "product-analytics staple (strict ordering on FIRST occurrence "
+    "per stage; NULL stage times fail the > predicate, so "
+    "non-reaching users drop out of later stages without explicit "
+    "null handling). One conditional-min aggregation per user — "
+    "map-side partial, shuffle carries 3 timestamps per user — then "
+    "a global count rollup; no self-joins, no per-stage passes. At "
+    "100 TB the events scan is the only data-sized stage.",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s_then_c = F.col("t_click") > F.col("t_signup")
+    full = s_then_c & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.sum(s_then_c.cast("int")).cast("long").alias("n_signup_then_click"),
+        F.sum(full.cast("int")).cast("long").alias("n_full_funnel"),
+    )
