@@ -94,6 +94,29 @@ def test_multimodal_attach_decode_sample(spark):
     assert f1 == [0, 3, 6, 9]
 
 
+def test_resize_media_null_geometry_yields_null_row(spark):
+    # rows whose decode produced null payload/dims are data, not
+    # exceptions: resize must emit null resize fields, not raise
+    from welearn_datastack_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [
+            ("ok", b"payload-bytes", 512, 256),
+            ("nullpay", None, 512, 256),
+            ("nulldims", b"more-bytes", None, None),
+        ],
+        "id string, payload binary, width int, height int",
+    )
+    rows = {r["id"]: r for r in resize_media(df, max_side=128).collect()}
+    assert rows["ok"]["resized_width"] == 128
+    assert rows["ok"]["resized_height"] == 64
+    assert len(rows["ok"]["resized_checksum"]) == 32
+    for bad in ("nullpay", "nulldims"):
+        assert rows[bad]["resized_width"] is None
+        assert rows[bad]["resized_height"] is None
+        assert rows[bad]["resized_checksum"] is None
+
+
 def test_sample_frames_zero_frames_yields_no_rows(spark):
     # a real decoder returning n_frames=0 (still image / corrupt file)
     # must produce zero frame rows, not kill the job (R6)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -146,14 +147,24 @@ def resize_media(
     schema = T.StructType(list(df.schema.fields) + RESIZE_FIELDS)
 
     def stub(pdf: pd.DataFrame) -> pd.DataFrame:
+        # bad rows are data, not exceptions (same contract as
+        # stub_decoder / sample_frames): a null payload or null decoded
+        # geometry yields null resize fields instead of raising.
+        ok = (
+            pdf[payload_col].notna()
+            & pdf["width"].notna()
+            & pdf["height"].notna()
+        )
         scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
-        rw = (pdf["width"] * scale).astype(float).apply(int)
-        rh = (pdf["height"] * scale).astype(float).apply(int)
+        rw = np.floor((pdf["width"] * scale).where(ok)).astype("Int64")
+        rh = np.floor((pdf["height"] * scale).where(ok)).astype("Int64")
         ck = [
             hashlib.md5(
                 f"{hashlib.md5(b).hexdigest()}x{w}x{h}".encode()
             ).hexdigest()
-            for b, w, h in zip(pdf[payload_col], rw, rh)
+            if good
+            else None
+            for good, b, w, h in zip(ok, pdf[payload_col], rw, rh)
         ]
         return pd.DataFrame(
             {"resized_width": rw, "resized_height": rh, "resized_checksum": ck}

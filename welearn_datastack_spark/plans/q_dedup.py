@@ -539,13 +539,15 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sharing via ONE window over the chunk-hash clustering instead of
     # an agg + join-back: same single shuffle key, but the chunk build
     # runs once (the join shape evaluates its lineage on both sides)
-    # and there is no second join exchange. collect_set is bounded by
-    # a chunk's owner count — shared chunks are boilerplate, not the
-    # corpus.
-    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("chunk_hash")))
+    # and there is no second join exchange. min!=max carries O(1)
+    # aggregation state per chunk_hash group even when a boilerplate
+    # chunk is owned by a corpus-scale fraction of documents (a
+    # collect_set here would buffer every owner id).
+    w = Window.partitionBy("chunk_hash")
+    shared = F.min("doc_id").over(w) != F.max("doc_id").over(w)
     return ch.select(
         "doc_id",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.col("chunk_len").cast("int").alias("chunk_len"),
-        (nd > 1).alias("is_shared"),
+        shared.alias("is_shared"),
     )

@@ -2122,7 +2122,7 @@ def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
              CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(SUM(value), 2) AS total
+             ROUND(SUM(value) + 5e-10, 2) AS total
       FROM events WHERE user_id % 50 = 0 GROUP BY user_id, date_trunc('hour', ts)
     )
     SELECT g.user_id, g.hour,
@@ -2144,7 +2144,11 @@ def resample_1h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
     hour = F.date_trunc("hour", F.col("ts"))
     agg = ev.groupBy("user_id", hour.alias("hour")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        # +5e-10 before ROUND on both engines: partial-agg order differs
+        # between Spark and DuckDB, and a sum within an ulp of a .005
+        # boundary would otherwise flip the 2-dp rounding cross-engine.
+        F.round(F.sum("value") + F.lit(5e-10), 2).alias("total"),
     )
     bounds = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
