@@ -254,6 +254,18 @@ def test_hashed_shingle_variants_match_string_keyed(spark):
     # and neither basis invents pairs across disjoint shingle sets
     assert (1, 6) not in p_s and (1, 6) not in p_h
 
+    # the cross-engine narrow-key path is stronger: hexint prehash
+    # reproduces the string path's signatures exactly
+    # (pmod(hexint(s), p) == hexint(s) % p), so its candidate set is
+    # BIT-IDENTICAL, not merely basis-equivalent
+    sh_x = hashed_shingles(sh_s, "doc_id", cross_engine=True)
+    sigs_x = minhash_signatures(sh_x, "doc_id", n_hashes=8, prehashed=True)
+    bands_x = lsh_band_keys(
+        sigs_x, "doc_id", rows_per_band=2, long_keys=True, cross_engine=True
+    )
+    p_x = {(r["a_id"], r["b_id"]) for r in lsh_candidates(bands_x, "doc_id").collect()}
+    assert p_x == p_s
+
 
 def test_shard_export_balanced_and_deterministic(spark, sf_dir):
     """Shard assignment must be balanced (hash spread), positionally

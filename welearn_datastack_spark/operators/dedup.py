@@ -96,9 +96,11 @@ def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 2) -> Da
     )
 
 
-def hashed_shingles(shingles: DataFrame, id_col: str) -> DataFrame:
+def hashed_shingles(
+    shingles: DataFrame, id_col: str, cross_engine: bool = False
+) -> DataFrame:
     """Shuffle-key compression for the dedup family: replace each
-    shingle STRING with its xxhash64 long, map-side, BEFORE any
+    shingle STRING with an 8-byte long, map-side, BEFORE any
     shingle-keyed exchange. An 8-token shingle averages ~50-60 bytes;
     the long is 8 — at 100 TB the shingle exchange is the dominant
     dedup shuffle, so this is a ~7x shuffle-byte cut for identical
@@ -107,10 +109,18 @@ def hashed_shingles(shingles: DataFrame, id_col: str) -> DataFrame:
     shingles the expected number of colliding pairs is ~10^20/2^64 ≈
     0.003). Downstream operators (jaccard_pairs, the df-window
     rollups, minhash with ``prehashed=True``) are dtype-agnostic on
-    the shingle column. The string-keyed path stays the oracle twin:
-    bit-exact cross-engine parity needs the md5-based hash, while
-    this variant is equivalence-tested against it."""
-    return shingles.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    the shingle column.
+
+    Hash choice: xxhash64 (default) is the production key — builtin,
+    no md5 round. ``cross_engine=True`` keys on :func:`hexint`
+    (md5-derived) instead; it is slower but bit-reproducible in ANSI
+    SQL, so a hexint-keyed pipeline can be hash-gated against a DuckDB
+    oracle (and, because ``pmod(hexint(s), p) == hexint(s) % p``,
+    feeding it to ``minhash_signatures(prehashed=True)`` reproduces
+    the string-keyed signatures EXACTLY). The xxhash64 path is
+    equivalence-tested against the string-keyed twin."""
+    key = hexint(F.col("shingle")) if cross_engine else F.xxhash64("shingle")
+    return shingles.select(F.col(id_col), key.alias("shingle"))
 
 
 def jaccard_pairs(
@@ -223,19 +233,30 @@ def minhash_signatures(
 
 
 def lsh_band_keys(
-    signatures: DataFrame, id_col: str, rows_per_band: int, long_keys: bool = False
+    signatures: DataFrame,
+    id_col: str,
+    rows_per_band: int,
+    long_keys: bool = False,
+    cross_engine: bool = False,
 ) -> DataFrame:
     """Group signature rows into bands; band key = md5 of the
     seed-ordered minhash values in the band (32-char string), or with
-    ``long_keys=True`` their xxhash64 (8 bytes — pairs with
-    :func:`hashed_shingles` to keep the band-bucket exchange narrow).
-    Output (id_col, band, band_key)."""
+    ``long_keys=True`` an 8-byte long — xxhash64 by default, or the
+    cross-engine :func:`hexint` with ``cross_engine=True`` (pairs
+    with ``hashed_shingles(cross_engine=True)`` so the whole
+    narrow-key pipeline stays SQL-reproducible). Either long key
+    keeps the band-bucket exchange narrow; candidate pairs depend
+    only on band-key EQUALITY, so any injective re-key yields the
+    same pair set. Output (id_col, band, band_key)."""
     banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     ordered_mh = F.transform(
         F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"].cast("string")
     )
     joined = F.concat_ws("-", ordered_mh)
-    key = F.xxhash64(joined) if long_keys else F.md5(joined)
+    if long_keys:
+        key = hexint(joined) if cross_engine else F.xxhash64(joined)
+    else:
+        key = F.md5(joined)
     return banded.groupBy(id_col, "band").agg(key.alias("band_key"))
 
 

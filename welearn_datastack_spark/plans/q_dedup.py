@@ -115,8 +115,12 @@ def ngram_jaccard_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", threshold=0.15)
 
 
-@register(
-    "minhash_lsh_candidates",
+# Shared by the string-keyed LSH query and its narrow-key variant:
+# candidate pairs depend only on band-key EQUALITY, and the hexint
+# prehash reproduces the string path's signatures exactly
+# (pmod(hexint(s), p) == hexint(s) % p), so both pipelines emit the
+# identical pair set and gate against this one SQL.
+_MINHASH_LSH_ORACLE = (
     _SHINGLES_CTE
     + f"""
     , base AS (
@@ -135,7 +139,13 @@ def ngram_jaccard_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    """,
+    """
+)
+
+
+@register(
+    "minhash_lsh_candidates",
+    _MINHASH_LSH_ORACLE,
     doc="Dedup: MinHash (8 perms) + LSH banding (4 bands × 2 rows) "
     "candidate pairs — shingle→minhash→band→bucket-join",
 )
@@ -149,24 +159,30 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_candidates_hashed",
-    None,  # rows-only: a different universal-hash basis → different
-    # (equally valid) candidate set; no cross-engine SQL twin exists
-    # because DuckDB has no xxhash64. Equivalence is pinned by tests:
-    # exact-duplicate documents are recovered by BOTH bases, and the
-    # candidate volume stays in the same LSH-predicted range.
-    doc="Hashed-shuffle-key variant of minhash_lsh_candidates: "
-    "xxhash64 longs replace shingle strings before the signature "
-    "aggregation AND 8-byte xxhash64 band keys replace 32-char md5 "
-    "strings in the band-bucket exchange. Same LSH guarantees "
-    "(per-hash collision probability = Jaccard similarity) under a "
-    "different random basis; the narrow keys cut both dedup-pipeline "
-    "shuffles at 100 TB.",
+    _MINHASH_LSH_ORACLE,  # full hash gate: the hexint prehash feeds
+    # the SAME h31 the string-keyed path computes (pmod(hexint(s), p)
+    # == hexint(s) % p), so signatures are identical; band keys are an
+    # injective re-key and pairs depend only on key equality → the
+    # candidate set is bit-identical to the string-keyed query's.
+    doc="Narrow-shuffle-key variant of minhash_lsh_candidates: 8-byte "
+    "longs replace shingle strings before the signature aggregation "
+    "AND 8-byte band keys replace 32-char md5 strings in the "
+    "band-bucket exchange — the two dedup-pipeline shuffles at "
+    "100 TB. Keys here are the cross-engine hexint (md5-derived) so "
+    "the full hash gate applies; production would flip "
+    "cross_engine=False for builtin xxhash64 keys (same shape, same "
+    "widths, no md5 round — equivalence-tested against the string "
+    "path in tests).",
 )
 def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=3), "doc_id")
+    sh = hashed_shingles(
+        word_shingles(docs, "doc_id", "text", n=3), "doc_id", cross_engine=True
+    )
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8, prehashed=True)
-    bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2, long_keys=True)
+    bands = lsh_band_keys(
+        sigs, "doc_id", rows_per_band=2, long_keys=True, cross_engine=True
+    )
     return lsh_candidates(bands, "doc_id")
 
 
