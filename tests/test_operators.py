@@ -197,6 +197,52 @@ def test_connected_components_two_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
 
+def test_connected_components_star_matches_min_label(spark):
+    """The star-contraction CC (the dense-graph scale path) must agree
+    with min-label propagation on every topology: chains (diameter),
+    dense cliques, stars, and a pseudo-random union of them."""
+    import random
+
+    from welearn_datastack_spark.operators.graph import (
+        connected_components_min_label,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # long chain 0..19 (worst case for diameter-bound algorithms)
+    edges += [(i, i + 1) for i in range(19)]
+    # dense clique 100..109 (worst case for edge-list-sized rounds)
+    clique = list(range(100, 110))
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    # star centered at 200
+    edges += [(200, 200 + i) for i in range(1, 8)]
+    # random components over 300..349
+    for _ in range(40):
+        edges.append((rng.randrange(300, 350), rng.randrange(300, 350)))
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    # min_label needs O(diameter) rounds — its default 15 caps out on
+    # the 19-hop chain (star converges in O(log n) regardless)
+    a = {r["node"]: r["component"] for r in
+         connected_components_min_label(df, max_iters=25).collect()}
+    b = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    assert a == b and len(b) > 60
+    assert all(b[i] == 0 for i in range(20))  # the chain resolves fully
+
+
+def test_connected_components_star_empty_and_nulls(spark):
+    from welearn_datastack_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame([(1, None), (None, 2), (3, 3), (3, 4)],
+                               "src bigint, dst bigint")
+    out = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    # null endpoints and self-loops dropped; only the real edge labels
+    assert out == {3: 3, 4: 3}
+    empty = df.filter("src IS NULL AND dst IS NULL")
+    assert connected_components_star(empty).count() == 0
+
+
 def test_sketch_profile_error_bounds(spark):
     """Sketch estimates must sit within their advertised error of the
     exact answers (the contract that makes them usable as a profiling

@@ -172,7 +172,10 @@ _EXCHANGE_BUDGET = {
     "ngram_jaccard_pairs": 3,      # shingle agg + bucket pairs + jaccard agg
     "ngram_jaccard_pairs_hashed": 3,     # same plan, 8-byte keys
     "lsh_near_dup_pairs": 1,       # plane projection is map-side; 1 bucket join
-    "dedup_clusters": 0,           # label propagation joins broadcast at this SF
+    # star-contraction CC: the final label agg over the converged
+    # (checkpointed) star edges is the one remaining exchange —
+    # per-round work happened against contracted edge sets already
+    "dedup_clusters": 1,
     # fingerprints + 3 pinned bucket repartitions (the AQE-coalescing
     # defeat) + chunk-pair sub-split branches; a drop below this count
     # is fine, but growth means pair generation re-serialized

@@ -116,6 +116,92 @@ def connected_components_min_label(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce
+    and Beyond*, SoCC'14) — the scale replacement for
+    :func:`connected_components_min_label` on DENSE graphs.
+
+    Min-label propagation drags the FULL edge list through a shuffle
+    for O(diameter) rounds; on a dense near-dup candidate graph the
+    edge list is the quadratic object, so every round pays the
+    worst-case cost. Star contraction instead REWRITES the edge set
+    each round — large-star hooks every node's larger neighbors onto
+    its local minimum, small-star hooks the smaller ones — so edges
+    collapse toward (node, component-min) stars: the per-round work
+    SHRINKS as the graph contracts, and convergence is O(log n)
+    rounds on any graph, independent of diameter. Each round is two
+    groupBy-min + join passes keyed on node id (no broadcast, no
+    driver data), ``localCheckpoint`` truncates lineage, and a
+    count+hash checksum detects convergence.
+
+    Returns (node, component) — identical contract and values to
+    ``connected_components_min_label``: component = min node id, one
+    row per node that appears in ``edges``."""
+    e = (
+        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(max_iters):
+        # large-star: from each node u, hook every LARGER neighbor to
+        # m(u) = min(N(u) ∪ {u}) — doubling toward the minimum
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        e = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"])
+        )
+        # small-star: orient edges toward the larger endpoint, then
+        # hook each node's SMALLER neighbors (and itself) to the min
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            directed.join(mins, on="u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(mins.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .dropDuplicates(["n", "m"])
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        # count + XOR-of-hashes set checksum: xor never overflows
+        # (sum would, under ANSI) and the edge set is deduped, so
+        # equal (count, xor) pins an unchanged set
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        sig = (sig_row["c"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at convergence every edge is (node, component-min); roots carry
+    # no outgoing edge and label themselves. The min-agg also keeps
+    # the label exact if max_iters cut contraction short.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    )
+    return labels.groupBy("node").agg(F.min("component").alias("component"))
+
+
 def pagerank_fixed(
     edges: DataFrame,
     n_iter: int = 3,

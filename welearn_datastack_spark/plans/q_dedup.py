@@ -251,20 +251,26 @@ _COMPONENTS_CHAIN = _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks") + 
     "dedup_clusters",
     _COMPONENTS_CHAIN + "SELECT node, component FROM comp",
     doc="Dedup clustering: MinHash-LSH candidate pairs → connected "
-    "components by min-label propagation — the cluster resolution step "
-    "that turns near-dup PAIRS into keep/drop decisions (keep min-id "
-    "per component). Spark: iterative label propagation "
-    "(operators/graph.py); oracle: recursive-CTE reachability.",
+    "components by large-star/small-star contraction (Kiveris et al. "
+    "SoCC'14; operators/graph.py connected_components_star) — the "
+    "cluster resolution step that turns near-dup PAIRS into keep/drop "
+    "decisions (keep min-id per component). Star contraction rewrites "
+    "the edge set toward component-min stars each round, so per-round "
+    "shuffle work SHRINKS as the graph contracts and rounds are "
+    "O(log n) — unlike min-label propagation, whose every round drags "
+    "the full (dense, near-quadratic) candidate edge list through a "
+    "shuffle for O(diameter) rounds. Oracle: recursive-CTE "
+    "reachability.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components_min_label
+    from ..operators.graph import connected_components_star
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
     pairs = lsh_candidates(bands, "doc_id").selectExpr("a_id AS src", "b_id AS dst")
-    return connected_components_min_label(pairs).select(
+    return connected_components_star(pairs).select(
         "node", F.col("component").cast("long").alias("component")
     )
 
@@ -473,11 +479,15 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blindly the min id, which is how a curation pipeline actually "
     "retires near-duplicates. One extra hash-partitioned window over "
     "the cluster id and a broadcast-size join back; the component "
-    "step's iterative min-label propagation (operators/graph.py) "
-    "remains the only multi-pass stage.",
+    "step is large-star/small-star contraction "
+    "(operators/graph.py connected_components_star) — O(log n) "
+    "rounds whose per-round work shrinks with the contracting edge "
+    "set, replacing min-label propagation's O(diameter) full-edge-"
+    "list rounds that dominated this query on the dense LSH "
+    "candidate graph at sf1.",
 )
 def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components_min_label
+    from ..operators.graph import connected_components_star
     from ..operators.topk import top_k_by
 
     docs = load_table(spark, sf_dir, "documents")
@@ -485,7 +495,7 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
     pairs = lsh_candidates(bands, "doc_id").selectExpr("a_id AS src", "b_id AS dst")
-    comp = connected_components_min_label(pairs).select(
+    comp = connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
     )
     every = docs.join(comp, on="doc_id", how="left").select(
