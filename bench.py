@@ -90,9 +90,11 @@ HEADLINE = [
     "ivf_learned_topk",
     "bloom_prefilter_new_users",
     "cdc_chunk_dedup",
+    "incremental_lsh_candidates",
     "multimodal_pipeline",
     "dedup_canonical_pick",
     "snapshot_diff",
+    "snapshot_tail_read",
     "shard_export_assignment",
     "hal_extraction_roundtrip",
     "open_alex_extraction_roundtrip",

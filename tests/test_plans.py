@@ -171,7 +171,13 @@ _EXCHANGE_BUDGET = {
     "minhash_lsh_candidates_hashed": 3,  # same plan, 8-byte keys
     "ngram_jaccard_pairs": 3,      # shingle agg + bucket pairs + jaccard agg
     "ngram_jaccard_pairs_hashed": 3,     # same plan, 8-byte keys
-    "lsh_near_dup_pairs": 1,       # plane projection is map-side; 1 bucket join
+    # scaled-plane projection is map-side; 1 pinned bucket repartition
+    # + 2 pinned chunk-pair repartitions (the AQE-coalescing defeat,
+    # see chunked_self_pairs) + the scan-side exchange
+    "lsh_near_dup_pairs": 4,
+    # centroid assignment agg + member join + 3 pinned sub-split
+    # repartitions + dup agg + final label join
+    "semantic_dedup_flags": 8,
     # star-contraction CC: the final label agg over the converged
     # (checkpointed) star edges is the one remaining exchange —
     # per-round work happened against contracted edge sets already

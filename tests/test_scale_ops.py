@@ -197,6 +197,39 @@ def test_simhash_hot_bucket_sub_split_bounds_task_width(spark):
     assert max(r["count"] for r in sizes) <= 4 * ct
 
 
+def test_chunked_self_pairs_exact_and_payload_aligned(spark):
+    """The generic sub-split pair generator must emit every unordered
+    within-bucket pair exactly once with a_id < b_id, payloads swapped
+    together with the ids, and split a hot bucket across chunk pairs."""
+    from welearn_datastack_spark.operators.dedup import chunked_self_pairs
+
+    n, ct = 120, 16
+    df = spark.range(n).select(
+        F.col("id").alias("vid"),
+        (F.col("id") % 3).alias("bkt"),          # 3 buckets of 40
+        (F.col("id") * 10).alias("payload"),     # payload derivable from id
+    )
+    rows = chunked_self_pairs(df, ["bkt"], "vid", ["payload"], chunk_target=ct).collect()
+    per_bucket = n // 3
+    assert len(rows) == 3 * per_bucket * (per_bucket - 1) // 2
+    seen = set()
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        # payload alignment survives the cross-chunk orientation swap
+        assert r["a_payload"] == r["a_id"] * 10 and r["b_payload"] == r["b_id"] * 10
+        assert r["a_id"] % 3 == r["bkt"] and r["b_id"] % 3 == r["bkt"]
+        key = (r["bkt"], r["a_id"], r["b_id"])
+        assert key not in seen
+        seen.add(key)
+    # bucket at/under chunk_target takes the un-split plan and is
+    # still exact
+    small = spark.range(10).select(
+        F.col("id").alias("vid"), F.lit(0).alias("bkt"), F.col("id").alias("payload")
+    )
+    srows = chunked_self_pairs(small, ["bkt"], "vid", ["payload"], chunk_target=256).collect()
+    assert len(srows) == 45
+
+
 def test_simhash_rejects_nonpositive_chunk_target(spark):
     """chunk_target=0 would null out the chunk columns under non-ANSI
     SQL and silently return an empty pair set — it must raise."""

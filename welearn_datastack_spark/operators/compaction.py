@@ -172,18 +172,23 @@ def read_with_snapshot(
     log_path: str,
     key_cols: list[str],
     ts_col: str,
+    tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Latest-state view = snapshot ∪ log-tail, arg-maxed. The tail
     predicate (`ts > snapshot watermark`) prunes the log scan to
     files whose row-group max exceeds the watermark — with
-    time-ordered appends that is only the recent files."""
+    time-ordered appends that is only the recent files. ``tie_break``
+    mirrors :func:`snapshot_latest`: pass the same columns so reads
+    resolve equal-timestamp rows identically to the snapshot
+    builder (and deterministically for oracle checks)."""
     snap = spark.read.parquet(snapshot_path)
     watermark = snap.agg(F.max(ts_col)).collect()[0][0]
     tail = spark.read.parquet(log_path).filter(F.col(ts_col) > F.lit(watermark))
     both = snap.select(*tail.columns).unionByName(tail)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tie_break or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         both.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

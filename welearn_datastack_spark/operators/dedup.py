@@ -351,6 +351,72 @@ def chunk_assignment(id_col, n_chunks) -> Column:
     return F.pmod(F.xxhash64(ident), n).cast("int")
 
 
+def chunked_self_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    chunk_target: int = 256,
+) -> DataFrame:
+    """All unordered within-bucket pairs, generated with the
+    hot-bucket sub-split so no single task ever materializes a
+    mega-bucket's |bucket|² pairs — the generalization of
+    :func:`simhash_near_pairs`' chunk-pair join for ANY bucketed
+    self-pairing (LSH embedding buckets, semantic-dedup clusters).
+
+    Each bucket of size bs splits into ``s = ceil(bs/chunk_target)``
+    chunks by :func:`chunk_assignment`; the join runs per chunk pair
+    (ci ≤ cj) so every unordered pair meets exactly once and per-task
+    pair generation is ≤ ~chunk_target² regardless of bucket size.
+    Replication is s+1 rows per member. Buckets at or under
+    chunk_target get s=1 — exactly the un-split single-join plan.
+    Both the bucket and the chunk-pair distributions are pinned with
+    explicit repartitions: the join INPUT is small in bytes but its
+    OUTPUT is the near-quadratic pair stream, the shape AQE's
+    size-based coalescing mis-reads onto one core.
+
+    Output: one row per unordered pair with ``a_id < b_id`` and, for
+    every payload column p, ``a_p`` / ``b_p`` aligned to that
+    orientation (cross-chunk pairs are produced in chunk order, so
+    ids AND payloads are swapped together where needed), plus the
+    bucket columns."""
+    assert chunk_target >= 1, "chunk_target must be a positive chunk size"
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, *bucket_cols)
+    w = Window.partitionBy(*bucket_cols)
+    chunked = df.withColumn(
+        "__s", F.ceil(F.count(F.lit(1)).over(w) / chunk_target).cast("int")
+    ).withColumn("__c", chunk_assignment(id_col, F.col("__s")))
+    a = chunked.select(
+        *bucket_cols,
+        F.col("__c").alias("ci"),
+        F.explode(F.sequence(F.col("__c"), F.col("__s") - 1)).alias("cj"),
+        F.col(id_col).alias("__x_id"),
+        *[F.col(p).alias(f"__x_{p}") for p in payload_cols],
+    ).repartition(par, *bucket_cols, "ci", "cj")
+    b = chunked.select(
+        *bucket_cols,
+        F.explode(F.sequence(F.lit(0), F.col("__c"))).alias("ci"),
+        F.col("__c").alias("cj"),
+        F.col(id_col).alias("__y_id"),
+        *[F.col(p).alias(f"__y_{p}") for p in payload_cols],
+    ).repartition(par, *bucket_cols, "ci", "cj")
+    joined = a.join(b, on=[*bucket_cols, "ci", "cj"]).filter(
+        # diagonal chunk pairs see both orderings — cut by id; a
+        # cross-chunk pair meets exactly once, oriented by chunk
+        (F.col("ci") < F.col("cj")) | (F.col("__x_id") < F.col("__y_id"))
+    )
+    fwd = F.col("__x_id") < F.col("__y_id")
+    out = [F.col(c) for c in bucket_cols] + [
+        F.when(fwd, F.col("__x_id")).otherwise(F.col("__y_id")).alias("a_id"),
+        F.when(fwd, F.col("__y_id")).otherwise(F.col("__x_id")).alias("b_id"),
+    ]
+    for p in payload_cols:
+        out.append(F.when(fwd, F.col(f"__x_{p}")).otherwise(F.col(f"__y_{p}")).alias(f"a_{p}"))
+        out.append(F.when(fwd, F.col(f"__y_{p}")).otherwise(F.col(f"__x_{p}")).alias(f"b_{p}"))
+    return joined.select(*out)
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str,

@@ -111,6 +111,83 @@ def grouped_topk(
     return top_k_by(best_per_group, [q_id], [F.desc("cosine"), F.asc(group_col)], k=k_groups)
 
 
+# corpus-scaled LSH sizing: the plane count grows with the corpus so
+# the EXPECTED bucket size stays ~_LSH_TARGET_BUCKET and intra-bucket
+# pair work stays constant while bucket count (= join parallelism)
+# scales — the knob that keeps hyperplane-LSH dedup linear at 100 TB.
+# Shared literals: the SQL twin below computes the identical value
+# from COUNT(*), so Spark and the oracle always agree on the bucket
+# geometry. Bounds: >= 4 keeps the tiny-corpus demo non-degenerate;
+# <= 32 caps map-side projection cost (32x64 mul-adds/vector) at a
+# bucket count (4G) beyond any realistic corpus.
+_LSH_BITS_LO = 4
+_LSH_BITS_HI = 32
+_LSH_TARGET_BUCKET = 8
+
+
+def scaled_n_bits(n: int) -> int:
+    """Plane count for a corpus of ``n`` vectors:
+    clamp(ceil(log2(n / target_bucket)), lo, hi). Exact powers of two
+    are fp-exact in both engines; non-powers land strictly between
+    integers, so the ceil never straddles a cross-engine ulp."""
+    import math
+
+    raw = math.ceil(math.log2(max(n, 1) / float(_LSH_TARGET_BUCKET)))
+    return max(_LSH_BITS_LO, min(_LSH_BITS_HI, raw))
+
+
+def scaled_n_bits_sql(n_expr: str) -> str:
+    """ANSI-SQL twin of :func:`scaled_n_bits` over a count expression."""
+    return (
+        f"GREATEST({_LSH_BITS_LO}, LEAST({_LSH_BITS_HI}, "
+        f"CAST(ceil(log2(GREATEST({n_expr}, 1) / {_LSH_TARGET_BUCKET}.0)) AS INT)))"
+    )
+
+
+def plane_weight_sql(seed: int, bit_expr: str, j0_expr: str) -> str:
+    """DuckDB twin of one :func:`derive_planes` weight: ±1 by the
+    parity of int(md5(f"{seed}:{bit}:{j}")[:8], 16) — the parity of a
+    32-bit hex prefix is the parity of its LAST (8th) hex char, which
+    SQL reads directly. ``j0_expr`` is the 0-based dimension index."""
+    md5_arg = f"'{seed}:' || CAST({bit_expr} AS VARCHAR) || ':' || CAST({j0_expr} AS VARCHAR)"
+    return (
+        f"CASE WHEN (strpos('0123456789abcdef', substr(md5({md5_arg}), 8, 1)) - 1) % 2 = 0"
+        " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    )
+
+
+# corpus-scaled coarse-quantizer sizing (SemDeDup / IVF): centroid
+# count k ~ n/target so EXPECTED cluster membership — and the
+# |cluster|² pair work inside each cluster — stays constant while the
+# number of clusters (= shuffle keys = parallelism) grows with the
+# corpus. Centroids are picked by a deterministic id stride so the
+# SQL oracle selects the identical set from COUNT(*) alone.
+_SEM_TARGET_CLUSTER = 64
+_SEM_MIN_K = 8
+
+
+def stride_centroid_params(n: int) -> tuple[int, int]:
+    """(stride, offset) such that ``vec_id % stride == offset`` picks
+    ~max(8, n/64) spread-out centroids from a dense id range."""
+    import math
+
+    k = max(_SEM_MIN_K, math.ceil(max(n, 1) / float(_SEM_TARGET_CLUSTER)))
+    stride = max(1, n // k)
+    return stride, stride // 2
+
+
+def stride_centroid_params_sql(table: str) -> str:
+    """DuckDB twin of :func:`stride_centroid_params` as a ``params``
+    CTE body computing (stride, off) from ``COUNT(*)``."""
+    return f"""(
+  SELECT GREATEST(1, n // k) AS stride, GREATEST(1, n // k) // 2 AS off
+  FROM (SELECT GREATEST(COUNT(*), 1) AS n,
+               GREATEST({_SEM_MIN_K},
+                        CAST(ceil(COUNT(*) / {_SEM_TARGET_CLUSTER}.0) AS BIGINT)) AS k
+        FROM {table})
+)"""
+
+
 def derive_planes(seed: int, n_bits: int, dims: int) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes from md5 parity — the ONE
     place the plane formula lives. Spark builders inline the result as

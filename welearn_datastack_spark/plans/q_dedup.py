@@ -187,6 +187,55 @@ def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_lsh_candidates",
+    _SHINGLES_CTE
+    + f"""
+    , base AS (
+      SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
+    ), hashes AS (
+      SELECT doc_id, seed,
+             ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
+      FROM base, unnest(generate_series(0, 7)) AS s(seed)
+    ), sigs AS (
+      SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    )
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS existing_id
+    FROM bands n JOIN bands o
+      ON n.band = o.band AND n.band_key = o.band_key
+    WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 != 0
+    """,
+    doc="Incremental dedup probe (operators/dedup.py "
+    "incremental_lsh_candidates) — the PRODUCTION ingest shape: the "
+    "corpus band table is persisted (bucketed on band_key at scale) "
+    "and each new batch probes it with one equi-join, instead of "
+    "re-pairing the whole corpus per ingest. The gate splits "
+    "documents deterministically (mod-5 = the incoming batch, rest = "
+    "the stored corpus), computes band keys for both sides with the "
+    "standard minhash pipeline, and hash-checks the probe result "
+    "against the same band join in SQL — band keys are per-document, "
+    "so computing them per-slice or over the full corpus is "
+    "identical.",
+)
+def incremental_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bands_of(d: DataFrame) -> DataFrame:
+        sh = word_shingles(d, "doc_id", "text", n=3)
+        sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
+        return lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+
+    stored = bands_of(docs.filter(F.col("doc_id") % 5 != 0))
+    incoming = bands_of(docs.filter(F.col("doc_id") % 5 == 0))
+    return incremental_lsh_candidates(stored, incoming, "doc_id")
+
+
+@register(
     "simhash_fingerprints",
     f"""
     WITH toks AS (

@@ -808,6 +808,27 @@ def backfill_update_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_scratch(name: str, sf_dir: str) -> str:
+    """Stable per-(query, sf) scratch dir for gate adapters whose
+    operator writes a sink: wiped and recreated on every build, so
+    repeated builds REUSE one directory instead of leaking a mkdtemp
+    each, and the build can return a LAZY read of the sink (no
+    driver-side collect of an SF-scaling frame) — the files stay
+    valid until the next build of the same query overwrites them."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), "welearn_gate_scratch", f"{name}_{key}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 @register(
     "stream_windowed_counts",
     """
@@ -912,24 +933,21 @@ def stream_dedup_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_enrich_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from ..streaming.state_machine import stream_enrich_join
 
-    work = tempfile.mkdtemp(prefix="welearn_stream_ej_")
-    try:
-        events_dir = f"{work}/events"
-        os.makedirs(events_dir)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
-        stream_enrich_join(spark, events_dir, f"{work}/ckpt", f"{work}/out")
-        out = spark.read.parquet(f"{work}/out").select(
-            "event_id", "user_id", "event_type", "channel"
-        )
-        # |events| rows but narrow (4 scalar cols) — pin locally so the
-        # scratch dir is removed instead of leaking per build() call
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # the enriched sink is |events|-sized — the one gate output that
+    # SCALES with SF — so unlike the bounded-frame adapters above it
+    # must never be collect()ed to the driver: the stream writes into
+    # a stable scratch dir and the gate returns a LAZY parquet read
+    work = _gate_scratch("stream_ej", sf_dir)
+    events_dir = f"{work}/events"
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+    stream_enrich_join(spark, events_dir, f"{work}/ckpt", f"{work}/out")
+    return spark.read.parquet(f"{work}/out").select(
+        "event_id", "user_id", "event_type", "channel"
+    )
 
 
 @register(
@@ -1238,11 +1256,27 @@ def details_merge_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.similarity import plane_weight_sql, scaled_n_bits_sql  # noqa: E402
+
+
 @register(
     "lsh_near_dup_pairs",
     f"""
-    WITH tagged AS (
-      SELECT vec_id, embedding, {{bucket_sql}} AS bucket FROM embeddings
+    WITH nb AS (
+      SELECT {scaled_n_bits_sql('COUNT(*)')} AS n_bits FROM embeddings
+    ), planes AS (
+      SELECT bit, list_transform(generate_series(1, 64),
+               j -> {plane_weight_sql(42, 'bit', 'j - 1')}) AS w
+      FROM (SELECT unnest(generate_series(0, (SELECT n_bits FROM nb) - 1)) AS bit)
+    ), buck AS (
+      SELECT e.vec_id,
+             string_agg(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) >= 0
+                 THEN '1' ELSE '0' END, '' ORDER BY p.bit) AS bucket
+      FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+    ), tagged AS (
+      SELECT b.vec_id, e.embedding, b.bucket
+      FROM buck b JOIN embeddings e USING (vec_id)
     ),
     pairs AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1257,38 +1291,40 @@ def details_merge_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= 0.30
-    """.replace("{bucket_sql}", _bucket_sql()),
+    """,
     doc="Dedup, 100 TB path: embedding near-duplicate pairs via "
-    "random-hyperplane LSH buckets — pair generation is a bucket-local "
-    "self-join (both sides shuffle ONCE on the uniform bucket key; "
-    "candidate count is sum of bucket sizes squared, never |D|^2), "
-    "then exact cosine confirms. Promotes the operators/similarity.py "
-    "signed-projection path to a correctness-gated query beside the "
-    "brute-force embedding_near_dup baseline; the oracle shares the "
-    "derive_planes literals so both engines compute bit-identical "
-    "buckets.",
+    "random-hyperplane LSH buckets, CORPUS-SCALED: the plane count is "
+    "ceil(log2(n/target_bucket)) (operators/similarity.scaled_n_bits; "
+    "the oracle computes the identical value from COUNT(*) and "
+    "derives the identical md5-parity planes in SQL), so expected "
+    "bucket size — and therefore per-bucket pair work — stays "
+    "constant while bucket count (= join parallelism) grows with the "
+    "corpus. Pair generation is the hot-bucket sub-split join "
+    "(operators/dedup.chunked_self_pairs): per-task pair output is "
+    "bounded by chunk_target² even when real embeddings pile into a "
+    "few dense buckets, the failure mode that made the fixed-plane "
+    "instance quadratic at sf1. Exact cosine confirms candidates.",
 )
 def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine
+    from ..operators.dedup import chunked_self_pairs
+    from ..operators.similarity import cosine, scaled_n_bits
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tagged = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
-    a = tagged.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"), "bucket"
+    # one driver-side scalar (a parquet metadata count) sizes the
+    # bucket geometry; everything downstream is distributed
+    n_bits = scaled_n_bits(emb.count())
+    planes = derive_planes(seed=42, n_bits=n_bits, dims=_DIMS)
+    tagged = emb.select(
+        "vec_id", "embedding", bucket_key_col(F.col("embedding"), planes).alias("bucket")
     )
-    b = tagged.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"), "bucket"
+    pairs = chunked_self_pairs(
+        tagged, ["bucket"], "vec_id", ["embedding"], chunk_target=256
     )
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(cosine(F.col("ae"), F.col("be")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.30)
-    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round(cosine(F.col("a_embedding"), F.col("b_embedding")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= 0.30)
 
 
 from ..operators.zorder import zorder_key_sql as _zorder_key_sql  # noqa: E402
@@ -1920,6 +1956,51 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("change"),
     )
+
+
+@register(
+    "snapshot_tail_read",
+    """
+    SELECT user_id, event_id, event_type, ts FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+    doc="Snapshot + log-tail read (operators/compaction.py "
+    "read_with_snapshot) — the 100 TB read path for the state log: "
+    "materialize latest-per-key once (snapshot_latest over the first "
+    "half of the log by time), then serve latest-state views as "
+    "snapshot UNION tail where tail = log rows past the snapshot "
+    "watermark — the `ts > watermark` predicate prunes the log scan "
+    "to recent files via row-group min/max, so a read touches "
+    "|keys| + |new events| rows, never the full history. The gate "
+    "builds the snapshot in a stable scratch dir, runs the real "
+    "two-source read, and hash-checks it against the full-log "
+    "arg-max oracle (ties broken by event_id DESC on both engines).",
+)
+def snapshot_tail_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import read_with_snapshot, snapshot_latest
+
+    work = _gate_scratch("snapshot_tail", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    ev.write.parquet(f"{work}/log")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:
+        # empty log: no snapshot to build, latest-state view is empty
+        return ev
+    cutoff = lo + (hi - lo) / 2
+    ev.filter(F.col("ts") <= F.lit(cutoff)).write.parquet(f"{work}/log_old")
+    snapshot_latest(
+        spark, f"{work}/log_old", f"{work}/snap", ["user_id"], "ts",
+        tie_break=["event_id"],
+    )
+    return read_with_snapshot(
+        spark, f"{work}/snap", f"{work}/log", ["user_id"], "ts",
+        tie_break=["event_id"],
+    ).select("user_id", "event_id", "event_type", "ts")
 
 
 @register(

@@ -662,13 +662,35 @@ def cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.28
 
+from ..operators.similarity import stride_centroid_params_sql  # noqa: E402
+
+# Standalone chain (not _IVF_TAIL): the centroid set is the
+# corpus-scaled stride pick, computed from COUNT(*) with the same
+# literals as operators/similarity.stride_centroid_params.
 _SEMDEDUP_ORACLE = (
     "WITH "
     + _NORMS_CTE
-    + ", "
-    + _IVF_TAIL  # reuses cent/allv/cos_to_cent/assign (probes/cand/scored unused)
+    + ", params AS "
+    + stride_centroid_params_sql("embeddings")
     + f"""
-, mem AS (
+, cent AS (
+  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings, params
+  WHERE vec_id % stride = off
+), allv AS (SELECT vec_id, embedding AS ve FROM embeddings),
+cos_to_cent AS (
+  SELECT a.vec_id, c.cent_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(a.ve[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (na.nrm * nc.nrm), 6) AS cos
+  FROM allv a CROSS JOIN cent c
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nc ON nc.vec_id = c.cent_id
+), assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM cos_to_cent) WHERE rn = 1
+), mem AS (
   SELECT a.vec_id, a.cent_id, v.ve FROM assign a JOIN allv v ON v.vec_id = a.vec_id
 ), sem_pairs AS (
   SELECT x.vec_id AS a_id, y.vec_id AS b_id,
@@ -691,24 +713,29 @@ FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
 @register(
     "semantic_dedup_flags",
     _SEMDEDUP_ORACLE,
-    doc="Semantic dedup (SemDeDup-style; Abbas et al. 2023): assign "
-    "every vector to its nearest coarse centroid (broadcast table, "
-    "map-side pass — the same quantizer as ivf_ann_topk), then flag "
-    "near-duplicates by pairwise cosine >= tau ONLY within a cluster; "
-    "the min-id member of each semantic-dup group is kept. Pairwise "
-    "cost is bounded by cluster size, never |C|²: at 100 TB the "
-    "centroid count k scales with the corpus (k ~ n/target_cluster) "
-    "so per-cluster membership — and therefore the bucket-local "
-    "self-join each task performs — stays constant while the number "
-    "of clusters (= shuffle keys = parallelism) grows. The fixed "
-    "8-centroid quantizer here is the deterministic test instance of "
-    "that design, not its capacity limit.",
+    doc="Semantic dedup (SemDeDup-style; Abbas et al. 2023), "
+    "CORPUS-SCALED: the coarse quantizer has k ~ max(8, n/64) "
+    "centroids picked by a deterministic id stride "
+    "(operators/similarity.stride_centroid_params; the oracle "
+    "computes the identical stride from COUNT(*)), so per-cluster "
+    "membership — and the |cluster|² cosine work inside it — stays "
+    "constant while cluster count (= shuffle keys = parallelism) "
+    "grows with the corpus; the sf1 70 s fixed-k=8 instance is gone. "
+    "Near-duplicates are flagged by pairwise cosine >= tau within a "
+    "cluster only; pairs come from the hot-bucket sub-split join "
+    "(operators/dedup.chunked_self_pairs) so a dense cluster can "
+    "never serialize onto one task; the min-id member of each "
+    "semantic-dup group is kept. Assignment broadcasts the centroid "
+    "table (k rows); at corpus sizes where k itself outgrows a "
+    "broadcast, assignment becomes an ANN lookup against the "
+    "ivf_learned path — same downstream pipeline.",
 )
 def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_pairs
+    from ..operators.similarity import cosine_pairs, stride_centroid_params
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).select(
+    stride, off = stride_centroid_params(emb.count())
+    centroids = emb.filter(F.col("vec_id") % stride == off).select(
         F.col("vec_id").alias("cent_id"), "embedding"
     )
     # centroids are the BROADCAST side (k rows — never the corpus);
@@ -738,28 +765,21 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     mem = assign.join(emb, on="vec_id").select(
         "vec_id", "cent_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
-    a = mem.select(
-        F.col("cent_id"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("ae"),
-        F.col("nrm").alias("an"),
-    )
-    b = mem.select(
-        F.col("cent_id"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("be"),
-        F.col("nrm").alias("bn"),
-    )
-    pairs = (
-        a.join(b, on="cent_id")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")), 6
-            ).alias("cos"),
-        )
+    # within-cluster pairs via the hot-bucket sub-split join: per-task
+    # pair output bounded by chunk_target² even when assignment piles
+    # into a few dense clusters
+    from ..operators.dedup import chunked_self_pairs
+
+    pairs = chunked_self_pairs(
+        mem, ["cent_id"], "vec_id", ["embedding", "nrm"], chunk_target=256
+    ).select(
+        "a_id",
+        "b_id",
+        F.round(
+            dot(F.col("a_embedding"), F.col("b_embedding"))
+            / (F.col("a_nrm") * F.col("b_nrm")),
+            6,
+        ).alias("cos"),
     )
     dup = (
         pairs.filter(F.col("cos") >= F.lit(_SEMDEDUP_TAU))
