@@ -175,9 +175,11 @@ _EXCHANGE_BUDGET = {
     # + 2 pinned chunk-pair repartitions (the AQE-coalescing defeat,
     # see chunked_self_pairs) + the scan-side exchange
     "lsh_near_dup_pairs": 4,
-    # centroid assignment agg + member join + 3 pinned sub-split
-    # repartitions + dup agg + final label join
-    "semantic_dedup_flags": 8,
+    # bucket-pruned assignment (broadcast centroid join + arg-max agg
+    # + self-assign left join) + member join + 3 pinned sub-split
+    # repartitions + dup agg + final label join — all keyed on vec_id
+    # or the narrow cluster id, none carrying the corpus twice
+    "semantic_dedup_flags": 11,
     # star-contraction CC: the final label agg over the converged
     # (checkpointed) star edges is the one remaining exchange —
     # per-round work happened against contracted edge sets already
@@ -197,3 +199,12 @@ def test_dedup_lsh_exchange_budgets(spark, sf_dir):
             f"{name}: {got} hash exchanges, budget {budget} — a new "
             f"shuffle appeared in the dedup pipeline\n{plan[:1500]}"
         )
+
+
+def test_snapshot_tail_filter_pushed_to_log_scan(spark, sf_dir):
+    """The whole point of the snapshot+tail read is that `ts >
+    watermark` PRUNES the log scan (row-group min/max skip old
+    files) — if the predicate stops reaching the parquet scan the
+    query silently re-reads the full history at 100 TB."""
+    plan = _plan(spark, sf_dir, "snapshot_tail_read")
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts," in plan, plan[:2000]

@@ -188,6 +188,39 @@ def stride_centroid_params_sql(table: str) -> str:
 )"""
 
 
+# bucket-pruned centroid assignment: with k ~ n/target centroids,
+# brute-force nearest-centroid assignment is n·k ≈ n²/target dots —
+# quadratic again, just moved one stage up (measured: 102 of 116 s at
+# sf1). Instead both vectors and centroids get a coarse sign-bucket
+# (~_ASSIGN_BUCKET_CENTROIDS centroids per bucket) and each vector
+# scores ONLY the centroids sharing its bucket — the same pruning an
+# IVF probe applies, made deterministic (md5-parity planes) so the
+# SQL oracle computes the identical candidate sets. Assignment cost
+# drops to ~n·target-constant dots; a vector whose bucket holds no
+# centroid becomes its own singleton cluster (deterministic,
+# dedup-safe: singletons simply produce no pairs).
+_ASSIGN_BUCKET_CENTROIDS = 4
+_ASSIGN_PLANE_SEED = 211
+
+
+def sem_assign_bits(n: int) -> int:
+    """Sign-bucket bit count for assignment pruning: enough planes
+    that an average bucket holds ~4 centroids of the k ~ n/64."""
+    import math
+
+    k = max(_SEM_MIN_K, math.ceil(max(n, 1) / float(_SEM_TARGET_CLUSTER)))
+    return max(0, math.floor(math.log2(k / float(_ASSIGN_BUCKET_CENTROIDS))))
+
+
+def sem_assign_bits_sql(table: str) -> str:
+    """ANSI-SQL twin of :func:`sem_assign_bits` over ``COUNT(*)``."""
+    return (
+        f"GREATEST(0, CAST(floor(log2(GREATEST({_SEM_MIN_K}, "
+        f"CAST(ceil(GREATEST(COUNT(*), 1) / {_SEM_TARGET_CLUSTER}.0) AS BIGINT))"
+        f" / {_ASSIGN_BUCKET_CENTROIDS}.0)) AS INT))"
+    )
+
+
 def derive_planes(seed: int, n_bits: int, dims: int) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes from md5 parity — the ONE
     place the plane formula lives. Spark builders inline the result as

@@ -1309,7 +1309,11 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import chunked_self_pairs
     from ..operators.similarity import cosine, scaled_n_bits
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # repartition BEFORE the plane-projection map: a small parquet
+    # file arrives as 1-2 scan splits and would serialize the
+    # n_bits x 64 fold work onto two cores (SCALE.md §4 pattern)
+    par = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
     # one driver-side scalar (a parquet metadata count) sizes the
     # bucket geometry; everything downstream is distributed
     n_bits = scaled_n_bits(emb.count())

@@ -662,36 +662,60 @@ def cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.28
 
-from ..operators.similarity import stride_centroid_params_sql  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    plane_weight_sql,
+    sem_assign_bits_sql,
+    stride_centroid_params_sql,
+)
 
 # Standalone chain (not _IVF_TAIL): the centroid set is the
-# corpus-scaled stride pick, computed from COUNT(*) with the same
-# literals as operators/similarity.stride_centroid_params.
+# corpus-scaled stride pick and the ASSIGNMENT is bucket-pruned —
+# vectors score only the centroids sharing their sign-bucket (the
+# IVF-probe pruning, made deterministic) — everything computed from
+# COUNT(*) with the same literals as operators/similarity. Vectors
+# whose bucket holds no centroid self-assign (singleton cluster).
 _SEMDEDUP_ORACLE = (
     "WITH "
     + _NORMS_CTE
     + ", params AS "
     + stride_centroid_params_sql("embeddings")
     + f"""
-, cent AS (
-  SELECT vec_id AS cent_id, embedding AS ce FROM embeddings, params
-  WHERE vec_id % stride = off
-), allv AS (SELECT vec_id, embedding AS ve FROM embeddings),
-cos_to_cent AS (
-  SELECT a.vec_id, c.cent_id,
+, nb AS (SELECT {sem_assign_bits_sql("embeddings")} AS bits FROM embeddings),
+planes AS (
+  SELECT bit, list_transform(generate_series(1, 64),
+           j -> {plane_weight_sql(211, 'bit', 'j - 1')}) AS w
+  FROM (SELECT unnest(generate_series(0, (SELECT bits FROM nb) - 1)) AS bit)
+), buck AS (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) >= 0
+             THEN '1' ELSE '0' END, '' ORDER BY p.bit) AS bk
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+), cent AS (
+  SELECT b.vec_id AS cent_id, b.bk, e.embedding AS ce
+  FROM buck b JOIN embeddings e USING (vec_id), params
+  WHERE b.vec_id % stride = off
+), cand AS (
+  SELECT v.vec_id, c.cent_id,
          ROUND(list_sum(list_transform(generate_series(1, 64),
-                 i -> CAST(a.ve[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
-               / (na.nrm * nc.nrm), 6) AS cos
-  FROM allv a CROSS JOIN cent c
-  JOIN norms na ON na.vec_id = a.vec_id
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (nv.nrm * nc.nrm), 6) AS cos
+  FROM buck v
+  JOIN embeddings e ON e.vec_id = v.vec_id
+  JOIN cent c ON c.bk = v.bk
+  JOIN norms nv ON nv.vec_id = v.vec_id
   JOIN norms nc ON nc.vec_id = c.cent_id
-), assign AS (
+), best AS (
   SELECT vec_id, cent_id FROM (
     SELECT vec_id, cent_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
-    FROM cos_to_cent) WHERE rn = 1
+    FROM cand) WHERE rn = 1
+), assign AS (
+  SELECT e.vec_id, COALESCE(b.cent_id, e.vec_id) AS cent_id
+  FROM embeddings e LEFT JOIN best b ON b.vec_id = e.vec_id
 ), mem AS (
-  SELECT a.vec_id, a.cent_id, v.ve FROM assign a JOIN allv v ON v.vec_id = a.vec_id
+  SELECT a.vec_id, a.cent_id, v.embedding AS ve
+  FROM assign a JOIN embeddings v ON v.vec_id = a.vec_id
 ), sem_pairs AS (
   SELECT x.vec_id AS a_id, y.vec_id AS b_id,
          ROUND(list_sum(list_transform(generate_series(1, 64),
@@ -714,57 +738,88 @@ FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
     "semantic_dedup_flags",
     _SEMDEDUP_ORACLE,
     doc="Semantic dedup (SemDeDup-style; Abbas et al. 2023), "
-    "CORPUS-SCALED: the coarse quantizer has k ~ max(8, n/64) "
-    "centroids picked by a deterministic id stride "
-    "(operators/similarity.stride_centroid_params; the oracle "
-    "computes the identical stride from COUNT(*)), so per-cluster "
+    "CORPUS-SCALED end to end: the coarse quantizer has k ~ "
+    "max(8, n/64) centroids picked by a deterministic id stride "
+    "(operators/similarity.stride_centroid_params), so per-cluster "
     "membership — and the |cluster|² cosine work inside it — stays "
     "constant while cluster count (= shuffle keys = parallelism) "
-    "grows with the corpus; the sf1 70 s fixed-k=8 instance is gone. "
-    "Near-duplicates are flagged by pairwise cosine >= tau within a "
-    "cluster only; pairs come from the hot-bucket sub-split join "
-    "(operators/dedup.chunked_self_pairs) so a dense cluster can "
-    "never serialize onto one task; the min-id member of each "
-    "semantic-dup group is kept. Assignment broadcasts the centroid "
-    "table (k rows); at corpus sizes where k itself outgrows a "
-    "broadcast, assignment becomes an ANN lookup against the "
-    "ivf_learned path — same downstream pipeline.",
+    "grows with the corpus. Assignment is BUCKET-PRUNED: brute "
+    "nearest-centroid scoring is n·k ≈ n²/64 dots (the quadratic "
+    "merely moved up a stage — measured 102 of 116 s at sf1), so "
+    "each vector scores only the ~4 centroids sharing its "
+    "deterministic sign-bucket (sem_assign_bits planes, seed 211) — "
+    "the IVF-probe pruning with an exact SQL twin; bucketless "
+    "vectors self-assign as singletons. Every sizing formula is "
+    "computed from COUNT(*) identically in both engines, so the "
+    "full hash gate holds. Near-duplicates are flagged by pairwise "
+    "cosine >= tau within a cluster only; pairs come from the "
+    "hot-bucket sub-split join (operators/dedup.chunked_self_pairs) "
+    "so a dense cluster can never serialize onto one task; the "
+    "min-id member of each semantic-dup group is kept.",
 )
 def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_pairs, stride_centroid_params
+    from ..operators.similarity import (
+        bucket_key_col,
+        derive_planes,
+        dot,
+        l2_norm,
+        sem_assign_bits,
+        stride_centroid_params,
+    )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    stride, off = stride_centroid_params(emb.count())
-    centroids = emb.filter(F.col("vec_id") % stride == off).select(
-        F.col("vec_id").alias("cent_id"), "embedding"
+    par = spark.sparkContext.defaultParallelism
+    # repartition BEFORE the fold-heavy map stages: a small parquet
+    # file arrives as 1-2 scan splits, which would serialize the
+    # per-vector bucket/norm folds onto two cores (measured 15x at
+    # sf1); at 100 TB the scan has thousands of splits and this is
+    # noise
+    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
+    n = emb.count()
+    stride, off = stride_centroid_params(n)
+    planes = derive_planes(seed=211, n_bits=sem_assign_bits(n), dims=64)
+    # bucket-pruned assignment (the IVF-probe pruning, deterministic):
+    # scoring every vector against every centroid is n·k ≈ n²/64 dots
+    # — quadratic, and measured as 102 of 116 s at sf1. Instead each
+    # vector scores ONLY the ~4 centroids sharing its sign-bucket;
+    # bucketless vectors self-assign as singleton clusters.
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        bucket_key_col(F.col("embedding"), planes).alias("bk"),
+    )
+    cents = tagged.filter(F.col("vec_id") % stride == off).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+        "bk",
     )
     # centroids are the BROADCAST side (k rows — never the corpus);
-    # assignment is a map-side-combinable arg-max (max_by under
-    # partial aggregation: the shuffle carries one pre-reduced row
-    # per vector, not k scored rows)
-    to_cent = cosine_pairs(
-        centroids.select(F.col("cent_id").alias("q_id"), "embedding"),
-        emb.select(F.col("vec_id").alias("c_id"), "embedding"),
-    ).select(
-        F.col("c_id").alias("vec_id"),
-        F.col("q_id").alias("cent_id"),
-        F.col("cosine").alias("cos"),
+    # the arg-max is map-side-combinable (max_by under partial agg:
+    # the shuffle carries one pre-reduced row per vector)
+    cand = tagged.join(F.broadcast(cents), on="bk").select(
+        "vec_id",
+        "cent_id",
+        F.round(
+            dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cos"),
     )
-    assign = to_cent.groupBy("vec_id").agg(
+    best = cand.groupBy("vec_id").agg(
         F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))).alias(
             "cent_id"
         )
     )
-    from ..operators.similarity import dot, l2_norm
-
-    # norms are computed ONCE per vector here, not per pair — the
+    assign = (
+        emb.select("vec_id")
+        .join(best, on="vec_id", how="left")
+        .select("vec_id", F.coalesce("cent_id", "vec_id").alias("cent_id"))
+    )
+    # norms are computed ONCE per vector (tagged), not per pair — the
     # pair stage is the quadratic part (|cluster|² dots), so pushing
     # the two 64-element norm folds out of it cuts per-pair work ~3x
     # (same values bit-for-bit: the oracle's norms CTE is per-vector
     # too)
-    mem = assign.join(emb, on="vec_id").select(
-        "vec_id", "cent_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
+    mem = assign.join(tagged.select("vec_id", "embedding", "nrm"), on="vec_id")
     # within-cluster pairs via the hot-bucket sub-split join: per-task
     # pair output bounded by chunk_target² even when assignment piles
     # into a few dense clusters
