@@ -1886,22 +1886,18 @@ def uved_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from ..streaming.state_machine import stream_session_counts
 
-    work = tempfile.mkdtemp(prefix="welearn_stream_sc_")
-    try:
-        events_dir = f"{work}/events"
-        os.makedirs(events_dir)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
-        stream_session_counts(spark, events_dir, f"{work}/ckpt", f"{work}/out")
-        out = spark.read.parquet(f"{work}/out").select("session_start", "user_id", "n")
-        # bounded: ≤ one row per (user, closed session); pin locally so
-        # the scratch dir is removed instead of leaking per build()
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # one row per (user, closed session) — sub-linear in events but
+    # still SF-scaling, so use the stable-scratch + lazy-read pattern
+    # (see _gate_scratch) instead of collecting to the driver
+    work = _gate_scratch("stream_sc", sf_dir)
+    events_dir = f"{work}/events"
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+    stream_session_counts(spark, events_dir, f"{work}/ckpt", f"{work}/out")
+    return spark.read.parquet(f"{work}/out").select("session_start", "user_id", "n")
 
 
 @register(
