@@ -71,6 +71,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_hashed",
     "duplicate_span_fraction_hashed",
+    "span_removal_rewrite",
     "simhash_fingerprints",
     "exact_dup_flags",
     "readability",

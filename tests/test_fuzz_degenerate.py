@@ -36,6 +36,7 @@ TARGETS = [
     "dedup_canonical_pick",
     "cdc_chunk_dedup",
     "duplicate_span_fraction",
+    "span_removal_rewrite",
     "duplicate_span_fraction_hashed",
     "ngram_novelty",
     "semantic_dedup_flags",

@@ -197,6 +197,43 @@ def test_simhash_hot_bucket_sub_split_bounds_task_width(spark):
     assert max(r["count"] for r in sizes) <= 4 * ct
 
 
+def test_strip_shared_spans_semantics(spark):
+    """First corpus occurrence of a span survives, later occurrences
+    are deleted, an exact duplicate collapses to nothing, and
+    sub-width documents pass through untouched."""
+    import hashlib
+
+    from welearn_datastack_spark.operators.dedup import strip_shared_spans
+
+    boiler = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail alpha beta"),
+            (2, boiler + " different ending gamma delta"),  # loses the boilerplate
+            (3, boiler),                                    # exact span dup → empty
+            (4, "short text"),                              # < width → untouched
+            (5, ""),                                        # empty → untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_shared_spans(docs, "doc_id", "text", width=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert len(out) == 5
+    # doc 1 owns every first occurrence → nothing removed
+    assert out[1]["n_removed"] == 0 and out[1]["clean_hash"] == md5(
+        boiler + " unique tail alpha beta"
+    )
+    # doc 2: its first 8 tokens replicate doc 1's spans → removed;
+    # the tail survives
+    assert out[2]["n_removed"] == 8
+    assert out[2]["clean_hash"] == md5("different ending gamma delta")
+    # doc 3 is exactly one duplicated span → fully deduplicated
+    assert out[3]["n_removed"] == 8 and out[3]["clean_hash"] == md5("")
+    # sub-width and empty docs carry no spans → untouched
+    assert out[4]["n_removed"] == 0 and out[4]["clean_hash"] == md5("short text")
+    assert out[5]["n_tokens"] == 0 and out[5]["clean_hash"] == md5("")
+
+
 def test_chunked_self_pairs_exact_and_payload_aligned(spark):
     """The generic sub-split pair generator must emit every unordered
     within-bucket pair exactly once with a_id < b_id, payloads swapped

@@ -537,6 +537,82 @@ def simhash_near_pairs(
     )
 
 
+def strip_shared_spans(
+    docs: DataFrame, id_col: str, text_col: str, width: int = 8
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the applied form of the span-fraction
+    measure (Lee et al., *Deduplicating Training Data Makes Language
+    Models Better*): every occurrence of a ``width``-token span that
+    already occurred earlier in the corpus (first occurrence = min
+    (doc_id, pos), kept) is deleted, and each document's text is
+    rebuilt from its surviving tokens. Output one row per input
+    document: (id_col, n_tokens, n_removed, clean_hash) where
+    clean_hash = md5 of the space-joined surviving tokens (md5('')
+    for fully-deduplicated or empty documents) — hash, not text, so
+    the driver gate compares a fixed-width column.
+
+    Scale shape: no pairs anywhere. One shingle-keyed exchange finds
+    each span's global first owner (min-struct aggregate, map-side
+    combinable); removed spans explode into at most width coverage
+    rows each; coverage dedup, the kept-token anti-join, and the
+    text rebuild are all clustered on the document id, which the
+    repartitioned source already satisfies (same elision as
+    word_shingles). Work is O(tokens · width) with shuffles carrying
+    token/span rows, never documents × documents."""
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+    arr = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0).alias("__t"),
+    )
+    toks = arr.select(F.col(id_col), F.posexplode("__t").alias("pos", "tk"))
+    # positioned shingles: pos p (0-based) covers tokens [p, p+width)
+    sh = arr.filter(F.size("__t") >= width).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - width),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("__t", i + 1, width), " ").alias("shingle"),
+                ),
+            )
+        ).alias("s"),
+    ).select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
+    first = sh.groupBy("shingle").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f")
+    )
+    removed = (
+        sh.join(first, on="shingle")
+        .filter((F.col(id_col) != F.col("f.d")) | (F.col("pos") != F.col("f.p")))
+        .select(F.col(id_col), "pos")
+    )
+    covered = removed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (width - 1))).alias("pos"),
+    ).dropDuplicates([id_col, "pos"])
+    kept = toks.join(covered, on=[id_col, "pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tk"))), lambda s: s["tk"]
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+    base = arr.select(F.col(id_col), F.size("__t").cast("long").alias("n_tokens"))
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5('')
+    return base.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        F.coalesce("clean_hash", F.lit(empty_md5)).alias("clean_hash"),
+    )
+
+
 def cdc_chunks(
     docs: DataFrame,
     id_col: str,

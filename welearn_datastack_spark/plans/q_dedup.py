@@ -564,6 +564,62 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_removal_rewrite",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tk
+      FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+      WHERE len(t) >= 1
+    ), sh AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+      WHERE len(t) >= 8
+    ), marked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn
+      FROM sh
+    ), removed AS (
+      SELECT doc_id, pos FROM marked WHERE rn > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + o AS pos
+      FROM removed, unnest(generate_series(0, 7)) AS g(o)
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tk
+      FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.doc_id IS NULL
+    ), reb AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(tk, ' ' ORDER BY pos)) AS h
+      FROM kept GROUP BY doc_id
+    )
+    SELECT x.doc_id, CAST(len(x.t) AS BIGINT) AS n_tokens,
+           CAST(len(x.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.h, md5('')) AS clean_hash
+    FROM toks x LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="Duplicate-span REMOVAL (Lee et al. 2022 applied, not just "
+    "measured): every occurrence of an 8-token span whose first "
+    "corpus occurrence is elsewhere (min (doc_id, pos) keeps it) is "
+    "deleted, and each document is rebuilt from surviving tokens — "
+    "the curation transform that strips cross-document boilerplate "
+    "while keeping exactly one copy. Output per document: token "
+    "count, removed count, and md5 of the rewritten text (both "
+    "engines rebuild and hash the full string, so the gate checks "
+    "the TRANSFORM, not just counts). operators/dedup."
+    "strip_shared_spans: one shingle-keyed min-struct exchange finds "
+    "first owners; coverage/rebuild stay clustered on the doc id; "
+    "no pair generation anywhere — O(tokens x width) total.",
+)
+def span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import strip_shared_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_shared_spans(docs, "doc_id", "text", width=8)
+
+
+@register(
     "cdc_chunk_dedup",
     f"""
     WITH toks AS (
