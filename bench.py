@@ -72,6 +72,7 @@ HEADLINE = [
     "ngram_jaccard_pairs_hashed",
     "duplicate_span_fraction_hashed",
     "span_removal_rewrite",
+    "span_removal_rewrite_hashed",
     "simhash_fingerprints",
     "exact_dup_flags",
     "readability",

@@ -538,7 +538,11 @@ def simhash_near_pairs(
 
 
 def strip_shared_spans(
-    docs: DataFrame, id_col: str, text_col: str, width: int = 8
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+    hashed_keys: bool = False,
 ) -> DataFrame:
     """Duplicate-span REMOVAL — the applied form of the span-fraction
     measure (Lee et al., *Deduplicating Training Data Makes Language
@@ -579,6 +583,13 @@ def strip_shared_spans(
             )
         ).alias("s"),
     ).select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
+    if hashed_keys:
+        # the shingle value is only ever GROUPED on, never surfaced —
+        # so the dominant exchange (|tokens| rows of ~width·6-byte
+        # strings) can carry 8-byte xxhash64 longs instead, identical
+        # output modulo a ~2^-64 collision (same reasoning as
+        # hashed_shingles; the string path remains the oracle twin)
+        sh = sh.select(F.col(id_col), "pos", F.xxhash64("shingle").alias("shingle"))
     first = sh.groupBy("shingle").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f")
     )

@@ -619,6 +619,32 @@ def span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_shared_spans(docs, "doc_id", "text", width=8)
 
 
+# the hashed variant produces IDENTICAL output (the shingle is only a
+# grouping key; xxhash64 is injective on any realistic span set), so
+# it gates against the SAME string-keyed oracle — the registration
+# reuses the spec registered just above.
+from .registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "span_removal_rewrite_hashed",
+    _REG["span_removal_rewrite"].oracle,
+    doc="Narrow-shuffle-key variant of span_removal_rewrite: the "
+    "first-owner exchange — the pipeline's dominant shuffle, one row "
+    "per token position keyed by a ~45-byte 8-gram string — carries "
+    "8-byte xxhash64 longs instead (operators/dedup."
+    "strip_shared_spans(hashed_keys=True)). Output is identical "
+    "(the span value is only ever grouped on, never surfaced), so "
+    "the full hash gate applies against the same string-keyed "
+    "oracle, exactly as ngram_jaccard_pairs_hashed gates.",
+)
+def span_removal_rewrite_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import strip_shared_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_shared_spans(docs, "doc_id", "text", width=8, hashed_keys=True)
+
+
 @register(
     "cdc_chunk_dedup",
     f"""
