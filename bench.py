@@ -93,6 +93,7 @@ HEADLINE = [
     "bloom_prefilter_new_users",
     "cdc_chunk_dedup",
     "incremental_lsh_candidates",
+    "incremental_semantic_dedup",
     "multimodal_pipeline",
     "dedup_canonical_pick",
     "snapshot_diff",

@@ -37,9 +37,11 @@ TARGETS = [
     "cdc_chunk_dedup",
     "duplicate_span_fraction",
     "span_removal_rewrite",
+    "span_removal_rewrite_hashed",
     "duplicate_span_fraction_hashed",
     "ngram_novelty",
     "semantic_dedup_flags",
+    "incremental_semantic_dedup",
     "kmeans_3iter",
     "ivf_learned_topk",
     "ivf_ann_topk",

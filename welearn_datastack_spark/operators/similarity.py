@@ -221,6 +221,30 @@ def sem_assign_bits_sql(table: str) -> str:
     )
 
 
+def bucket_pruned_assign(tagged: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment pruned to the vector's sign-bucket
+    (see the `_ASSIGN_*` notes above): ``tagged`` carries
+    (vec_id, embedding, nrm, bk), ``cents`` (cent_id, ce, cnrm, bk).
+    Centroids broadcast; the arg-max is map-side-combinable (max_by
+    under partial agg → the shuffle carries one pre-reduced row per
+    vector). Returns (vec_id, cent_id) for vectors with at least one
+    in-bucket centroid — callers COALESCE to self-assignment for the
+    rest. Ties: highest cosine, then lowest cent_id (the SQL twin's
+    row_number ORDER BY cos DESC, cent_id ASC)."""
+    cand = tagged.join(F.broadcast(cents), on="bk").select(
+        "vec_id",
+        "cent_id",
+        F.round(
+            dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("cos"),
+    )
+    return cand.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))).alias(
+            "cent_id"
+        )
+    )
+
+
 def derive_planes(seed: int, n_bits: int, dims: int) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes from md5 parity — the ONE
     place the plane formula lives. Spark builders inline the result as

@@ -795,20 +795,11 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bk",
     )
     # centroids are the BROADCAST side (k rows — never the corpus);
-    # the arg-max is map-side-combinable (max_by under partial agg:
-    # the shuffle carries one pre-reduced row per vector)
-    cand = tagged.join(F.broadcast(cents), on="bk").select(
-        "vec_id",
-        "cent_id",
-        F.round(
-            dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
-        ).alias("cos"),
-    )
-    best = cand.groupBy("vec_id").agg(
-        F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))).alias(
-            "cent_id"
-        )
-    )
+    # the arg-max is map-side-combinable (operators/similarity.
+    # bucket_pruned_assign, shared with the incremental variant)
+    from ..operators.similarity import bucket_pruned_assign
+
+    best = bucket_pruned_assign(tagged, cents)
     assign = (
         emb.select("vec_id")
         .join(best, on="vec_id", how="left")
@@ -842,6 +833,174 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("a_id").alias("dup_of"))
     )
     return assign.join(dup, on="vec_id", how="left").select(
+        "vec_id", "cent_id", "dup_of", F.col("dup_of").isNull().alias("kept")
+    )
+
+
+# Incremental twin: the quantizer (stride centroids + assignment
+# planes) is SIZED FROM THE STORED CORPUS — the persisted state a
+# production ingest probes — and only incoming vectors are scored.
+_INCR_SEMDEDUP_ORACLE = (
+    "WITH "
+    + _NORMS_CTE
+    + """
+, stored AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 != 0),
+inc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+params AS """
+    + stride_centroid_params_sql("stored")
+    + f"""
+, nb AS (SELECT {sem_assign_bits_sql("stored")} AS bits FROM stored),
+planes AS (
+  SELECT bit, list_transform(generate_series(1, 64),
+           j -> {plane_weight_sql(211, 'bit', 'j - 1')}) AS w
+  FROM (SELECT unnest(generate_series(0, (SELECT bits FROM nb) - 1)) AS bit)
+), buck AS (
+  SELECT e.vec_id,
+         string_agg(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) >= 0
+             THEN '1' ELSE '0' END, '' ORDER BY p.bit) AS bk
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+), cent AS (
+  SELECT b.vec_id AS cent_id, b.bk, e.embedding AS ce
+  FROM buck b JOIN stored e USING (vec_id), params
+  WHERE b.vec_id % stride = off
+), cand_s AS (
+  SELECT v.vec_id, c.cent_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (nv.nrm * nc.nrm), 6) AS cos
+  FROM buck v
+  JOIN stored e ON e.vec_id = v.vec_id
+  JOIN cent c ON c.bk = v.bk
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.cent_id
+), assign_s AS (
+  SELECT e.vec_id, COALESCE(b.cent_id, e.vec_id) AS cent_id
+  FROM stored e LEFT JOIN (
+    SELECT vec_id, cent_id FROM (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM cand_s) WHERE rn = 1) b ON b.vec_id = e.vec_id
+), cand_i AS (
+  SELECT v.vec_id, c.cent_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (nv.nrm * nc.nrm), 6) AS cos
+  FROM buck v
+  JOIN inc e ON e.vec_id = v.vec_id
+  JOIN cent c ON c.bk = v.bk
+  JOIN norms nv ON nv.vec_id = v.vec_id
+  JOIN norms nc ON nc.vec_id = c.cent_id
+), assign_i AS (
+  SELECT e.vec_id, COALESCE(b.cent_id, e.vec_id) AS cent_id
+  FROM inc e LEFT JOIN (
+    SELECT vec_id, cent_id FROM (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM cand_i) WHERE rn = 1) b ON b.vec_id = e.vec_id
+), mem_s AS (
+  SELECT a.vec_id, a.cent_id, v.embedding AS ve
+  FROM assign_s a JOIN stored v ON v.vec_id = a.vec_id
+), probe AS (
+  SELECT i.vec_id, s.vec_id AS s_id,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i2 -> CAST(e.embedding[i2] AS DOUBLE) * CAST(s.ve[i2] AS DOUBLE)))
+               / (ni.nrm * ns.nrm), 6) AS cos
+  FROM assign_i i
+  JOIN inc e ON e.vec_id = i.vec_id
+  JOIN mem_s s ON s.cent_id = i.cent_id
+  JOIN norms ni ON ni.vec_id = i.vec_id
+  JOIN norms ns ON ns.vec_id = s.vec_id
+), dup AS (
+  SELECT vec_id, MIN(s_id) AS dup_of
+  FROM probe WHERE cos >= {_SEMDEDUP_TAU} GROUP BY vec_id
+)
+SELECT i.vec_id, i.cent_id, d.dup_of, d.dup_of IS NULL AS kept
+FROM assign_i i LEFT JOIN dup d ON d.vec_id = i.vec_id
+"""
+)
+
+
+@register(
+    "incremental_semantic_dedup",
+    _INCR_SEMDEDUP_ORACLE,
+    doc="Incremental semantic dedup probe — the embedding-side "
+    "complement of incremental_lsh_candidates: the STORED corpus "
+    "(mod-4 split) carries the persisted quantizer (stride centroids "
+    "+ assignment planes sized from ITS count) and its cluster "
+    "assignments; an INCOMING batch is bucket-assigned against the "
+    "same centroids and each new vector is compared ONLY to the "
+    "stored members of its cluster — cosine >= tau flags it a "
+    "semantic dup of the min-id stored member. Per-ingest cost is "
+    "|batch| x cluster-size dots, never |batch| x |corpus|; "
+    "everything is the shared bucket_pruned_assign operator plus one "
+    "cluster-keyed probe join, and every sizing formula is computed "
+    "from COUNT(*) identically in both engines (full hash gate).",
+)
+def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        bucket_key_col,
+        bucket_pruned_assign,
+        derive_planes,
+        dot,
+        l2_norm,
+        sem_assign_bits,
+        stride_centroid_params,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
+    stored_ids = F.col("vec_id") % 4 != 0
+    n_stored = emb.filter(stored_ids).count()
+    stride, off = stride_centroid_params(n_stored)
+    planes = derive_planes(seed=211, n_bits=sem_assign_bits(n_stored), dims=64)
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        bucket_key_col(F.col("embedding"), planes).alias("bk"),
+    )
+    tag_s = tagged.filter(stored_ids)
+    tag_i = tagged.filter(~stored_ids)
+    cents = tag_s.filter(F.col("vec_id") % stride == off).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+        "bk",
+    )
+
+    def assigned(tag: DataFrame) -> DataFrame:
+        best = bucket_pruned_assign(tag, cents)
+        return (
+            tag.select("vec_id")
+            .join(best, on="vec_id", how="left")
+            .select("vec_id", F.coalesce("cent_id", "vec_id").alias("cent_id"))
+        )
+
+    mem_s = assigned(tag_s).join(
+        tag_s.select("vec_id", F.col("embedding").alias("se"), F.col("nrm").alias("sn")),
+        on="vec_id",
+    ).select(F.col("vec_id").alias("s_id"), "cent_id", "se", "sn")
+    assign_i = assigned(tag_i)
+    probe = (
+        assign_i.join(
+            tag_i.select("vec_id", "embedding", "nrm"), on="vec_id"
+        )
+        .join(mem_s, on="cent_id")
+        .select(
+            "vec_id",
+            "s_id",
+            F.round(
+                dot(F.col("embedding"), F.col("se")) / (F.col("nrm") * F.col("sn")), 6
+            ).alias("cos"),
+        )
+    )
+    dup = (
+        probe.filter(F.col("cos") >= F.lit(_SEMDEDUP_TAU))
+        .groupBy("vec_id")
+        .agg(F.min("s_id").alias("dup_of"))
+    )
+    return assign_i.join(dup, on="vec_id", how="left").select(
         "vec_id", "cent_id", "dup_of", F.col("dup_of").isNull().alias("kept")
     )
 
