@@ -171,6 +171,16 @@ _EXCHANGE_BUDGET = {
     "minhash_lsh_candidates_hashed": 3,  # same plan, 8-byte keys
     "ngram_jaccard_pairs": 3,      # shingle agg + bucket pairs + jaccard agg
     "ngram_jaccard_pairs_hashed": 3,     # same plan, 8-byte keys
+    # first-owner shingle agg + owner join-back + coverage dedup +
+    # kept anti-join + rebuild agg (last three doc-keyed; elide under
+    # a doc-bucketed layout)
+    "span_removal_rewrite": 5,
+    "span_removal_rewrite_hashed": 5,    # same plan, 8-byte span keys
+    "incremental_lsh_candidates": 2,     # per-slice band aggs; probe join reuses
+    # two bucket-pruned assignments (broadcast cents; per-vector
+    # arg-max aggs) + member/probe joins + dup agg — all vec_id or
+    # cluster-keyed
+    "incremental_semantic_dedup": 9,
     # scaled-plane projection is map-side; 1 pinned bucket repartition
     # + 2 pinned chunk-pair repartitions (the AQE-coalescing defeat,
     # see chunked_self_pairs) + the scan-side exchange
