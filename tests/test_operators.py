@@ -234,11 +234,14 @@ def test_connected_components_star_matches_min_label(spark):
 def test_connected_components_star_empty_and_nulls(spark):
     from welearn_datastack_spark.operators.graph import connected_components_star
 
-    df = spark.createDataFrame([(1, None), (None, 2), (3, 3), (3, 4)],
+    df = spark.createDataFrame([(1, None), (None, 2), (3, 3), (3, 4), (7, 7)],
                                "src bigint, dst bigint")
     out = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
-    # null endpoints and self-loops dropped; only the real edge labels
-    assert out == {3: 3, 4: 3}
+    # null-endpoint edges dropped entirely; a redundant self-loop on a
+    # connected node (3,3) changes nothing; a node seen ONLY in
+    # self-loops (7,7) survives as its own singleton component — the
+    # same contract as connected_components_min_label's symmetrize
+    assert out == {3: 3, 4: 3, 7: 7}
     empty = df.filter("src IS NULL AND dst IS NULL")
     assert connected_components_star(empty).count() == 0
 

@@ -247,7 +247,17 @@ def lsh_band_keys(
     narrow-key pipeline stays SQL-reproducible). Either long key
     keeps the band-bucket exchange narrow; candidate pairs depend
     only on band-key EQUALITY, so any injective re-key yields the
-    same pair set. Output (id_col, band, band_key)."""
+    same pair set. Output (id_col, band, band_key).
+
+    ``cross_engine`` only selects WHICH long key is used, so it is an
+    error to pass it without ``long_keys=True`` — the md5-string
+    default is already cross-engine reproducible on its own."""
+    if cross_engine and not long_keys:
+        raise ValueError(
+            "lsh_band_keys: cross_engine=True selects the hexint LONG key — "
+            "pass long_keys=True with it (md5 string keys are already "
+            "cross-engine reproducible)"
+        )
     banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     ordered_mh = F.transform(
         F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"].cast("string")
@@ -570,12 +580,21 @@ def strip_shared_spans(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0).alias("__t"),
     )
     toks = arr.select(F.col(id_col), F.posexplode("__t").alias("pos", "tk"))
-    # positioned shingles: pos p (0-based) covers tokens [p, p+width)
+    # positioned shingles: pos p (0-based) covers tokens [p, p+width).
+    # The position range must be TOTAL even though short docs are
+    # filtered out below — same hazard word_shingles guards against:
+    # InferFiltersFromGenerate can evaluate the generator before the
+    # length filter, where the un-guarded sequence(0, size-width) runs
+    # DESCENDING for size < width and drives slice into negative
+    # starts under ANSI
+    positions = F.when(
+        F.size("__t") >= width, F.sequence(F.lit(0), F.size("__t") - width)
+    ).otherwise(F.array().cast("array<int>"))
     sh = arr.filter(F.size("__t") >= width).select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.size("__t") - width),
+                positions,
                 lambda i: F.struct(
                     i.alias("pos"),
                     F.array_join(F.slice("__t", i + 1, width), " ").alias("shingle"),

@@ -138,19 +138,41 @@ def connected_components_star(
     rounds on any graph, independent of diameter. Each round is two
     groupBy-min + join passes keyed on node id (no broadcast, no
     driver data), ``localCheckpoint`` truncates lineage, and a
-    count+hash checksum detects convergence.
+    count+hash checksum detects convergence. If the checksum has not
+    stabilized within ``max_iters`` rounds the function RAISES —
+    25 rounds is ample headroom for O(log n) convergence (validated on
+    path/star/barbell topologies in tests/test_properties.py), and a
+    partially contracted edge set can label members of one component
+    inconsistently, so failing loudly beats returning silently wrong
+    labels.
 
     Returns (node, component) — identical contract and values to
     ``connected_components_min_label``: component = min node id, one
-    row per node that appears in ``edges``."""
+    row per node that appears in ``edges`` with both endpoints
+    non-null (a node seen only in self-loop edges is its own
+    singleton component, as min-label's symmetrize-without-filter
+    keeps it)."""
+    nn = edges.selectExpr(f"{src} AS u", f"{dst} AS v").filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
     e = (
-        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
-        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .filter(F.col("u") != F.col("v"))
+        nn.filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
     )
+    # contract parity with min-label: a node seen ONLY in self-loop
+    # edges must survive as its own singleton component. Computed from
+    # the (typically empty — candidate pairs are a_id < b_id) self-loop
+    # subset alone, so the extra exchanges carry self-loop rows, never
+    # the full node set, and the contraction hot path is untouched.
+    self_loop_nodes = (
+        nn.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .dropDuplicates(["node"])
+        .localCheckpoint(eager=True)
+    )
     prev_sig: tuple[int, int] | None = None
+    converged = False
     for _ in range(max_iters):
         # large-star: from each node u, hook every LARGER neighbor to
         # m(u) = min(N(u) ∪ {u}) — doubling toward the minimum
@@ -191,15 +213,27 @@ def connected_components_star(
         ).first()
         sig = (sig_row["c"], sig_row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: edge-set checksum still moving after "
+            f"{max_iters} rounds — contraction is O(log n), so this indicates a "
+            f"pathological input or a bug; raise max_iters explicitly if the "
+            f"graph is genuinely that large"
+        )
     # at convergence every edge is (node, component-min); roots carry
-    # no outgoing edge and label themselves. The min-agg also keeps
-    # the label exact if max_iters cut contraction short.
+    # no outgoing edge and label themselves; nodes with no surviving
+    # non-self edge (isolated by the u != v filter) self-label
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("component"))
     )
-    return labels.groupBy("node").agg(F.min("component").alias("component"))
+    resolved = labels.groupBy("node").agg(F.min("component").alias("component"))
+    singletons = self_loop_nodes.join(
+        labels.select("node").dropDuplicates(["node"]), on="node", how="left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return resolved.unionByName(singletons)
 
 
 def pagerank_fixed(

@@ -814,7 +814,13 @@ def _gate_scratch(name: str, sf_dir: str) -> str:
     repeated builds REUSE one directory instead of leaking a mkdtemp
     each, and the build can return a LAZY read of the sink (no
     driver-side collect of an SF-scaling frame) — the files stay
-    valid until the next build of the same query overwrites them."""
+    valid until the next build of the same query overwrites them.
+
+    The root is scoped PER PROCESS (pid in the path): two concurrent
+    bench/test runs over the same sf_dir must never rmtree each
+    other's live lazy-read files mid-run, and a world-shared fixed
+    path under the global tempdir would also be a pre-creation/
+    symlink hazard on shared hosts."""
     import hashlib
     import os
     import shutil
@@ -822,7 +828,9 @@ def _gate_scratch(name: str, sf_dir: str) -> str:
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(), "welearn_gate_scratch", f"{name}_{key}"
+        tempfile.gettempdir(),
+        f"welearn_gate_scratch_{os.getpid()}",
+        f"{name}_{key}",
     )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
@@ -896,21 +904,20 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_urls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from ..streaming.state_machine import stream_dedup_urls
 
-    work = tempfile.mkdtemp(prefix="welearn_stream_dd_")
-    try:
-        events_dir = f"{work}/events"
-        os.makedirs(events_dir)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
-        stream_dedup_urls(spark, events_dir, f"{work}/ckpt", f"{work}/out")
-        out = spark.read.parquet(f"{work}/out").select("user_id", "event_type")
-        # bounded: |users|·|event types| keys
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # the emitted key set is |users|·|event types| — |users| GROWS with
+    # SF, so (unlike the genuinely bounded |days|·|event types| frame
+    # in stream_windowed_counts) it must never be collect()ed to the
+    # driver: write into the stable per-query scratch and return a
+    # LAZY read, exactly like stream_enrich_join below
+    work = _gate_scratch("stream_dd", sf_dir)
+    events_dir = f"{work}/events"
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_dir}/part-000.parquet")
+    stream_dedup_urls(spark, events_dir, f"{work}/ckpt", f"{work}/out")
+    return spark.read.parquet(f"{work}/out").select("user_id", "event_type")
 
 
 @register(
