@@ -634,24 +634,36 @@ def ann_method_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cosine_topk_blas",
-    None,  # numpy pairwise summation differs from the JVM fold in the
-    # last ulp, so this variant is equivalence-tested under a
-    # tolerance against cosine_topk (tests/test_similarity_blas.py)
-    # instead of the exact-hash oracle; the driver records the
-    # rows-only check
+    _COSINE_CTE
+    + """
+    SELECT q_id, list(c_id ORDER BY c_id) AS c_ids FROM (
+      SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id ASC) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 5
+    GROUP BY q_id
+    """,
     doc="Similarity search, BLAS alternate: the same brute-force "
     "cosine top-5 as cosine_topk but scored as one numpy matmul per "
     "corpus Arrow batch with per-batch top-k preselection "
     "(operators/similarity.py blas_topk). Benchmark twin for the "
-    "JVM-kernel-vs-Arrow-BLAS crossover (SCALE.md §6).",
+    "JVM-kernel-vs-Arrow-BLAS crossover (SCALE.md §6). Gate surface: "
+    "the per-query TOP-K ID SET (sorted), which is order-stable even "
+    "though numpy's pairwise float summation differs from the JVM "
+    "fold (and from the oracle's sequential SQL SUM) in the last ulp "
+    "— the 6-digit-rounded ranking can only flip at an inter-score "
+    "gap ≲1e-6, orders below the real score gaps — so this is a FULL "
+    "hash gate; the raw scores themselves are equivalence-tested "
+    "under tolerance against the JVM kernel in "
+    "tests/test_similarity_blas.py.",
 )
 def cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import blas_topk
 
     queries, corpus = _split(spark, sf_dir)
-    return blas_topk(queries, corpus.select("c_id", "embedding"), k=5).select(
-        "q_id", "c_id", "cosine", "rnk"
-    )
+    top = blas_topk(queries, corpus.select("c_id", "embedding"), k=5)
+    return top.groupBy("q_id").agg(F.array_sort(F.collect_list("c_id")).alias("c_ids"))
 
 
 # ---------------------------------------------------------------------------
