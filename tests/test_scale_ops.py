@@ -474,3 +474,37 @@ def test_bloom_prefilter_keeps_null_key_rows(spark, tmp_path):
     # click by signed-up user 10 excluded; null-key click and
     # never-seen user 99 both kept — exactly NOT EXISTS semantics
     assert got == {(3, None), (4, 99)}
+
+
+def test_jaccard_baseline_row_budget(spark):
+    """The adjudicated-quadratic exact-Jaccard baseline must never run
+    unbounded at corpus scale: above the doc budget, a deterministic
+    hexint(doc_id) % den sample participates (den = ceil(n/budget),
+    shared with the SQL oracle); at or under budget it is a no-op."""
+    from welearn_datastack_spark.operators.dedup import hexint
+    from welearn_datastack_spark.plans.q_dedup import (
+        _JACCARD_DOC_BUDGET,
+        _sampled_baseline_docs,
+        jaccard_sample_den,
+    )
+
+    # the formula, including the exact-boundary and sf1/sf3 cases
+    assert jaccard_sample_den(0) == 1
+    assert jaccard_sample_den(_JACCARD_DOC_BUDGET) == 1  # sf0.1: exact
+    assert jaccard_sample_den(_JACCARD_DOC_BUDGET + 1) == 2
+    assert jaccard_sample_den(50_000) == 10   # sf1
+    assert jaccard_sample_den(150_000) == 30  # sf3
+    assert jaccard_sample_den(100, budget=10) == 10
+
+    docs = spark.range(0, 3 * _JACCARD_DOC_BUDGET).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    sampled, den = _sampled_baseline_docs(docs)
+    assert den == 3
+    expected = docs.filter(hexint(F.col("doc_id").cast("string")) % den == 0)
+    n_sampled, n_expected = sampled.count(), expected.count()
+    assert n_sampled == n_expected
+    # the md5-derived key spreads ~uniformly: the sample is a real cut
+    assert 0 < n_sampled < _JACCARD_DOC_BUDGET * 2
+    under, den_under = _sampled_baseline_docs(docs.limit(100))
+    assert den_under == 1 and under.count() == 100

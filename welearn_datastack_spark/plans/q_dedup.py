@@ -60,12 +60,62 @@ def exact_dup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_flags(docs, "doc_id", "text")
 
 
+# --- row-budget guard for the adjudicated-quadratic exact baselines ---
+# The all-pairs Jaccard queries are kept deliberately as the exact
+# references the LSH family is verified against, but their candidate
+# generation is quadratic per shared-shingle bucket (measured 12-14x
+# per decade; 458 s of the sf3 bench between the two variants). So the
+# baseline auto-samples: above _JACCARD_DOC_BUDGET documents, only
+# docs with hexint(doc_id) % den == 0 participate, den = ceil(n /
+# budget) — deterministic, cross-engine (the SQL twin computes the
+# same den from COUNT(*) and the same md5-derived key), and SURFACED
+# in the output as a constant `sample_den` column (1 = exact, no
+# sampling). The budget pins the baseline's cost at roughly the sf0.1
+# level forever; anyone needing exact all-pairs above it should use
+# minhash_lsh_candidates + jaccard on the candidate set instead.
+_JACCARD_DOC_BUDGET = 5000
+
+
+def jaccard_sample_den(n_docs: int, budget: int = _JACCARD_DOC_BUDGET) -> int:
+    """Sampling modulus for the exact-Jaccard baseline: 1 (no
+    sampling) up to ``budget`` docs, else ceil(n/budget)."""
+    import math
+
+    return max(1, math.ceil(max(n_docs, 1) / float(budget)))
+
+
+# DuckDB twin of jaccard_sample_den over COUNT(*) — literal-shared so
+# both engines agree on the sampled doc set at every SF.
+_JACCARD_DEN_CTE = f"""
+den AS (
+  SELECT GREATEST(1, CAST(ceil(COUNT(*) / {_JACCARD_DOC_BUDGET}.0) AS BIGINT)) AS d
+  FROM documents
+)"""
+
+# _SHINGLES_CTE over the SAMPLED doc set (same trigram logic).
+_SAMPLED_SHINGLES_CTE = (
+    "WITH "
+    + _JACCARD_DEN_CTE
+    + f"""
+, sdocs AS (
+  SELECT doc_id, text FROM documents, den
+  WHERE {_HEXINT.format(x="CAST(doc_id AS VARCHAR)")} % den.d = 0
+), toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM sdocs
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+)
+"""
+)
+
 # shared by the string-keyed query and its hashed-shuffle-key variant:
 # the hashed pipeline produces IDENTICAL output (xxhash64 is injective
 # on this corpus's shingle set — any collision would shift a count),
 # so both gate against the same string-keyed SQL.
 _JACCARD_ORACLE = (
-    _SHINGLES_CTE
+    _SAMPLED_SHINGLES_CTE
     + """
     , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     common AS (
@@ -73,7 +123,8 @@ _JACCARD_ORACLE = (
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a_id, b_id, jaccard FROM (
+    SELECT a_id, b_id, jaccard, (SELECT CAST(d AS INT) FROM den) AS sample_den
+    FROM (
       SELECT c.a_id, c.b_id,
              ROUND(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard
       FROM common c
@@ -84,16 +135,37 @@ _JACCARD_ORACLE = (
 )
 
 
+def _sampled_baseline_docs(docs: DataFrame) -> tuple[DataFrame, int]:
+    """Apply the exact-baseline row budget: returns (docs, den) where
+    docs is filtered to the hexint(doc_id) % den == 0 sample (a no-op
+    when den == 1). The count() is one scalar to the driver — the
+    same COUNT(*)-driven sizing the LSH/semantic families use."""
+    from ..operators.dedup import hexint
+
+    den = jaccard_sample_den(docs.count())
+    if den > 1:
+        docs = docs.filter(hexint(F.col("doc_id").cast("string")) % den == 0)
+    return docs, den
+
+
 @register(
     "ngram_jaccard_pairs",
     _JACCARD_ORACLE,
     doc="Dedup: word-trigram Jaccard near-dup pairs ≥ 0.15 (pairs "
-    "generated per shingle bucket — equi-join, never cross product)",
+    "generated per shingle bucket — equi-join, never cross product). "
+    "ADJUDICATED QUADRATIC BASELINE — kept as the exact reference the "
+    "LSH family verifies against, with a corpus-adaptive row budget: "
+    "above 5000 documents only the deterministic hexint(doc_id) % den "
+    "sample participates (den = ceil(n/5000), shared with the SQL "
+    "twin and surfaced as the sample_den column), so the exact "
+    "baseline can never accidentally dominate a corpus-scale run.",
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs, den = _sampled_baseline_docs(load_table(spark, sf_dir, "documents"))
     sh = word_shingles(docs, "doc_id", "text", n=3)
-    return jaccard_pairs(sh, "doc_id", threshold=0.15)
+    return jaccard_pairs(sh, "doc_id", threshold=0.15).withColumn(
+        "sample_den", F.lit(den).cast("int")
+    )
 
 
 @register(
@@ -107,12 +179,15 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the string-keyed query (same oracle, full hash gate): per-doc "
     "sizes, bucket memberships, and pair counts survive hashing "
     "because xxhash64 is collision-free on any realistic shingle "
-    "set (~2^-64 per pair).",
+    "set (~2^-64 per pair). Same adjudicated-baseline row budget as "
+    "the string variant (sample_den column).",
 )
 def ngram_jaccard_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs, den = _sampled_baseline_docs(load_table(spark, sf_dir, "documents"))
     sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=3), "doc_id")
-    return jaccard_pairs(sh, "doc_id", threshold=0.15)
+    return jaccard_pairs(sh, "doc_id", threshold=0.15).withColumn(
+        "sample_den", F.lit(den).cast("int")
+    )
 
 
 # Shared by the string-keyed LSH query and its narrow-key variant:
