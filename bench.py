@@ -1,11 +1,18 @@
 #!/usr/bin/env python
 """Headline benchmark. Runs representative queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS].
 
-Each query is forced end-to-end with a noop sink (full materialization,
-no driver collect).
+Output contract (round 8 — the driver captures only the LAST ~2000
+stdout chars, so rounds 3/6/7 recorded parsed:null when the full
+per-query map overflowed it): the FINAL stdout line is a COMPACT
+summary JSON (totals + artifact path, < 500 chars); the full
+per-query detail — min/median/spread times, shuffle read/write
+bytes, task counts, errors — is written to the artifact file under
+bench_runs/.
+
+Each query is forced end-to-end with a noop sink (full
+materialization, no driver collect).
 """
 
 from __future__ import annotations
@@ -13,11 +20,18 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# the bench session reads per-query shuffle bytes from the status REST
+# API — flip the UI on BEFORE the session is built (no-op if the env
+# already pinned it)
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
 from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
 from welearn_datastack_spark.session import get_spark
@@ -99,10 +113,33 @@ HEADLINE = [
     "snapshot_diff",
     "snapshot_tail_read",
     "shard_export_assignment",
+    "ingest_increment_pipeline",
     "hal_extraction_roundtrip",
     "open_alex_extraction_roundtrip",
     "ted_extraction_roundtrip",
 ]
+
+
+def _stage_totals(spark) -> dict[str, int] | None:
+    """Cumulative (shuffle read bytes, shuffle write bytes, completed
+    tasks) across all completed stages, from the status REST API.
+    Returns None when the UI is off or unreachable — byte accounting
+    is then simply omitted, never fatal to the timing run."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+        return {
+            "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "tasks": sum(s.get("numCompleteTasks", 0) for s in stages),
+        }
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def main() -> None:
@@ -127,27 +164,35 @@ def main() -> None:
     # jitter before being called a regression. The 1-minute load
     # average is sampled before and after so sandbox contention is
     # visible in the record.
+    # SHUFFLE-BYTE ACCOUNTING (round 8): the first warm run of each
+    # query also records its shuffle read/write bytes and task count
+    # (status-API deltas) — bytes are load-independent, so a wall-time
+    # drift with unchanged bytes is environment, not plan (the triage
+    # rule SCALE.md §13 applies cross-round).
     # per-query failure isolation: one broken query must never erase
     # the whole performance signal — record {"err": ...} for it and
     # keep timing the rest (round-3 postmortem: a single
     # AnalysisException cost the round every number).
     # SPARK_GRAFT_BENCH_RUNS overrides the run count (min 2: one cold +
-    # >=1 warm) — used by the sf1 scale rehearsal where 5 runs over a
-    # 10x corpus would burn most of the signal-gathering budget.
-    import statistics
-
+    # >=1 warm) — used by the sf1/sf3 scale rehearsals where 5 runs
+    # over a 10-30x corpus would burn most of the signal budget.
     n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    bytes_by_query: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     cold_total = 0.0
     load_before = os.getloadavg()[0]
     for name in HEADLINE:
-        spec = REGISTRY[name]
+        spec = REGISTRY.get(name)
+        if spec is None:
+            errors[name] = "not registered"
+            continue
         warm: list[float] = []
         try:
             for i in range(n_runs):
+                before = _stage_totals(spark) if i == 1 else None
                 t0 = time.time()
                 spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
@@ -155,6 +200,12 @@ def main() -> None:
                     cold_total += dt
                 else:
                     warm.append(dt)
+                if i == 1 and before is not None:
+                    after = _stage_totals(spark)
+                    if after is not None:
+                        bytes_by_query[name] = {
+                            k: after[k] - before[k] for k in before
+                        }
             med = statistics.median(warm)
             times[name] = round(min(warm), 3)
             medians[name] = round(med, 3)
@@ -162,7 +213,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(times.values()), 3)
-    out = {
+    shuffle_read = sum(b["shuffle_read_bytes"] for b in bytes_by_query.values())
+    shuffle_write = sum(b["shuffle_write_bytes"] for b in bytes_by_query.values())
+
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -173,12 +227,36 @@ def main() -> None:
         "median_total_sec": round(sum(medians.values()), 3),
         "queries_median": medians,
         "queries_rel_spread": spreads,
+        "queries_shuffle": bytes_by_query,
         "cold_total_sec": round(cold_total, 3),
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    artifact_dir = Path(__file__).resolve().parent / "bench_runs"
+    artifact_dir.mkdir(exist_ok=True)
+    artifact = artifact_dir / f"latest_sf{sf}.json"
+    artifact.write_text(json.dumps(detail, indent=1))
+
+    # COMPACT final line — must stay well under the driver's ~2000-char
+    # tail capture (per-query detail lives in the artifact only)
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "runs": n_runs,
+        "stat": f"min-of-{n_runs - 1}-warm",
+        "median_total_sec": detail["median_total_sec"],
+        "cold_total_sec": detail["cold_total_sec"],
+        "errors_n": len(errors),
+        "shuffle_read_mb": round(shuffle_read / 1e6, 1),
+        "shuffle_write_mb": round(shuffle_write / 1e6, 1),
+        "loadavg_1m": detail["loadavg_1m"],
+        "artifact": str(artifact.relative_to(artifact_dir.parent)),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

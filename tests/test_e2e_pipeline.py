@@ -91,3 +91,76 @@ def test_full_enrichment_chain(spark, sf_dir):
     # re-sync is idempotent
     again = sync(store, points.select("point_id", "document_id", "vector", "payload"))
     assert again.count() == n_points
+
+
+def test_ingest_increment_end_to_end(spark, sf_dir, tmp_path):
+    """The composed incremental-ingest pipeline: state build → probe →
+    decisions → state transitions, with the two structural guarantees
+    a production ingest needs — (a) probe cost scales with |batch|
+    (the stored corpus is a plain parquet scan of pre-computed state,
+    never re-shingled), (b) admitting a batch transitions state so a
+    re-probe of the same batch flags every doc an exact duplicate."""
+    from welearn_datastack_spark.pipeline.ingest_increment import (
+        apply_transitions,
+        build_state,
+        ingest_increment,
+        probe_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_pred = F.col("doc_id") % 5 == 0
+    state = str(tmp_path / "state")
+
+    build_state(docs.filter(~batch_pred), state)
+    batch = docs.filter(batch_pred)
+    decisions = probe_batch(spark, batch, state)
+
+    # (a) plan shape: the probe reads the PERSISTED state (band_store
+    # + doc_hashes parquet — identified by their ReadSchemas, which
+    # survive the toString path truncation) and tokenizes text only on
+    # the batch side — the stored corpus is never re-shingled
+    plan = decisions._jdf.queryExecution().executedPlan().toString()
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("band:int,band_key:string" in ln for ln in schemas), schemas
+    assert any("content_hash:string" in ln for ln in schemas), schemas
+    text_scans = [ln for ln in schemas if "text:string" in ln]
+    # exactly two text scans: the batch's content-hash leg + its
+    # shingle leg — a third would mean the corpus side re-reads text
+    assert len(text_scans) == 2, text_scans
+    # both text scans carry the batch's mod-5 residual — stated by the
+    # lone Filter ancestor pattern: no text scan without the batch cut
+    assert plan.count("% 5) = 0") >= 2, plan[:2000]
+    rows = decisions.collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == {r["doc_id"] for r in batch.select("doc_id").collect()}
+    states = {r["state"] for r in rows}
+    assert states <= {"exact_dup", "near_dup", "new"}
+    # decisions are internally consistent
+    for r in rows:
+        if r["state"] == "exact_dup":
+            assert r["exact_dup_of"] is not None and r["exact_dup_of"] % 5 != 0
+        elif r["state"] == "near_dup":
+            assert r["exact_dup_of"] is None and r["n_near_candidates"] > 0
+        else:
+            assert r["exact_dup_of"] is None
+
+    # (b) transitions: admitted NEW docs join the state; re-probing
+    # the SAME batch now finds each former-new doc as an exact dup of
+    # itself (its hash is in the store)
+    n_new = sum(1 for r in rows if r["state"] == "new")
+    admitted = apply_transitions(spark, batch, decisions, state)
+    assert admitted == n_new
+    reprobe = {r["doc_id"]: r for r in probe_batch(spark, batch, state).collect()}
+    for doc_id, r in got.items():
+        if r["state"] == "new":
+            assert reprobe[doc_id]["state"] == "exact_dup"
+            assert reprobe[doc_id]["exact_dup_of"] == doc_id
+
+    # the one-call composed job over a fresh state dir matches the
+    # step-by-step decisions
+    state2 = str(tmp_path / "state2")
+    out = str(tmp_path / "out")
+    composed = ingest_increment(spark, docs, state2, out_dir=out, batch_mod=5)
+    assert {(r["doc_id"], r["state"]) for r in composed.collect()} == {
+        (r["doc_id"], r["state"]) for r in rows
+    }

@@ -97,6 +97,28 @@ def _curate(args: argparse.Namespace) -> None:
     print(f"curate complete: {n_in} -> {n_out} documents ({args.out})")
 
 
+def _ingest_increment(args: argparse.Namespace) -> None:
+    """Incremental-ingest job: mod-split the documents table into the
+    stored corpus and an incoming batch, build the persisted dedup
+    state on first run, probe the batch against the STATE (exact-hash
+    + LSH band probes — the corpus is never re-shingled), write the
+    per-document decisions, and append the admitted documents' state.
+    Run it twice against the same --state to see the idempotent shape:
+    the second run's batch is all exact_dup."""
+    from .pipeline.ingest_increment import ingest_increment
+    from .session import get_spark
+    from .sources.tables import load_table
+
+    spark = get_spark("welearn-ingest-increment")
+    docs = load_table(spark, args.sf_dir, "documents")
+    decisions = ingest_increment(
+        spark, docs, args.state, out_dir=args.out, batch_mod=args.batch_mod
+    )
+    counts = {r["state"]: r["n"] for r in
+              decisions.groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(f"ingest-increment complete: {counts} -> {args.out}")
+
+
 def _compact(args: argparse.Namespace) -> None:
     """Maintenance job: bin-pack a fragmented parquet directory (the
     OPTIMIZE verb for the append-only state log)."""
@@ -144,6 +166,16 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--min-words", type=int, default=10)
     c.add_argument("--keep-pct", type=int, default=100)
     c.set_defaults(fn=_curate)
+
+    ii = sub.add_parser(
+        "ingest-increment",
+        help="probe an incoming batch against persisted dedup state and admit new docs",
+    )
+    ii.add_argument("--sf-dir", required=True)
+    ii.add_argument("--state", required=True, help="dedup state store directory")
+    ii.add_argument("--out", required=True, help="per-document decisions parquet")
+    ii.add_argument("--batch-mod", type=int, default=5)
+    ii.set_defaults(fn=_ingest_increment)
 
     k = sub.add_parser("compact", help="bin-pack a fragmented parquet directory in place")
     k.add_argument("--path", required=True)

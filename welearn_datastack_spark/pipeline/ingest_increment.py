@@ -1,0 +1,158 @@
+"""Incremental-ingest pipeline — the composed end-to-end job that
+chains the pieces the batch `curate` job cannot use at ingest time:
+
+  ingest batch → persisted-state read (content-hash store + LSH band
+  store) → exact-dup probe + band probe → per-document dedup decision
+  → state transitions (NEW documents' hashes/bands appended).
+
+This is the production shape for continuous corpus growth: per-ingest
+cost scales with |batch| (the batch is shingled/hashed in-engine; the
+corpus side is a PLAIN PARQUET SCAN of pre-computed state, never
+re-shingled), and the state store is append-only — the same
+snapshot+tail discipline as operators/compaction.py. The reference's
+equivalent is the URL-ingest dedup + anti-join backfill chain
+(nodes_workflow collect→filter cycle, pipeline/url_ingest.py twin);
+here it is generalized to content-level dedup state.
+
+At 100 TB: ``band_store`` is written bucketed by ``band_key`` so the
+per-batch probe join is a bucket-local equi-join with no corpus-side
+shuffle (tests/test_bucketed_layout.py proves the zero-Exchange plan
+for this layout); ``doc_hashes`` is bucketed by ``content_hash`` the
+same way. Batches append new state in the arriving partitioning —
+compaction folds them into the bucketed snapshot on the maintenance
+schedule (operators/compaction.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    incremental_lsh_candidates,
+    lsh_band_keys,
+    minhash_signatures,
+    normalize_text,
+    word_shingles,
+)
+
+# one pipeline, one parameterization — shared by the state build and
+# the batch probe so persisted bands always match probe bands
+_SHINGLE_N = 3
+_N_HASHES = 8
+_ROWS_PER_BAND = 2
+
+
+def content_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, content_hash) — md5 of whitespace-normalized lowercase
+    text, the exact-dup key (same formula as exact_dup_flags)."""
+    return docs.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    )
+
+
+def band_keys(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, band, band_key) — the standard minhash/LSH band
+    pipeline at the pipeline's fixed parameterization."""
+    sh = word_shingles(docs, id_col, text_col, n=_SHINGLE_N)
+    sigs = minhash_signatures(sh, id_col, n_hashes=_N_HASHES)
+    return lsh_band_keys(sigs, id_col, rows_per_band=_ROWS_PER_BAND)
+
+
+def build_state(docs: DataFrame, state_dir: str) -> None:
+    """Materialize the persisted dedup state for a stored corpus:
+    ``state_dir/doc_hashes`` and ``state_dir/band_store`` parquet."""
+    content_hashes(docs).write.mode("overwrite").parquet(f"{state_dir}/doc_hashes")
+    band_keys(docs).write.mode("overwrite").parquet(f"{state_dir}/band_store")
+
+
+def probe_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> DataFrame:
+    """Per-incoming-document dedup decision against the PERSISTED
+    state — the batch is hashed/shingled in-engine, the corpus side is
+    read from the state parquet (never recomputed), so probe cost is
+    O(|batch|) plus the bucket-local band join.
+
+    Output (doc_id, exact_dup_of, n_near_candidates, state):
+      - exact_dup_of: min stored doc id with identical content hash
+        (NULL if none) → state 'exact_dup'
+      - n_near_candidates: distinct stored docs sharing ≥1 LSH band
+        → state 'near_dup' when > 0 and no exact hit
+      - otherwise state 'new'."""
+    stored_hashes = spark.read.parquet(f"{state_dir}/doc_hashes")
+    stored_bands = spark.read.parquet(f"{state_dir}/band_store")
+
+    exact = (
+        content_hashes(batch)
+        .join(
+            stored_hashes.select(
+                F.col("doc_id").alias("s_id"), "content_hash"
+            ),
+            on="content_hash",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("s_id").alias("exact_dup_of"))
+    )
+    near = (
+        incremental_lsh_candidates(stored_bands, band_keys(batch), "doc_id")
+        .groupBy(F.col("new_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_near_candidates"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, on="doc_id", how="left")
+        .join(near, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            F.coalesce("n_near_candidates", F.lit(0)).cast("long").alias(
+                "n_near_candidates"
+            ),
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.coalesce("n_near_candidates", F.lit(0)) > 0, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("state"),
+        )
+    )
+
+
+def apply_transitions(
+    spark: SparkSession, batch: DataFrame, decisions: DataFrame, state_dir: str
+) -> int:
+    """State transition: documents judged NEW join the corpus — their
+    content hashes and band keys are APPENDED to the state store, so
+    the next ingest's probe sees them (idempotency: re-probing the
+    same batch then flags every doc an exact dup of itself-in-state).
+    Returns the number of admitted documents."""
+    new_ids = decisions.filter(F.col("state") == "new").select("doc_id")
+    admitted = batch.join(new_ids, on="doc_id")
+    # decisions derive from a lazy probe over the files being appended
+    # to — pin them before the writes (bounded: |batch| rows of ids)
+    admitted = admitted.localCheckpoint(eager=True)
+    content_hashes(admitted).write.mode("append").parquet(f"{state_dir}/doc_hashes")
+    band_keys(admitted).write.mode("append").parquet(f"{state_dir}/band_store")
+    return admitted.count()
+
+
+def ingest_increment(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    out_dir: str | None = None,
+    batch_mod: int = 5,
+) -> DataFrame:
+    """The composed job: mod-split ``docs`` into stored corpus and
+    incoming batch, build the state store on first run (missing
+    ``state_dir``), probe the batch, apply state transitions, and
+    (optionally) write the per-document decisions. Returns the
+    decisions DataFrame (lazy read of ``out_dir`` when written)."""
+    batch_pred = F.col("doc_id") % batch_mod == 0
+    if not os.path.exists(f"{state_dir}/band_store"):
+        build_state(docs.filter(~batch_pred), state_dir)
+    decisions = probe_batch(spark, docs.filter(batch_pred), state_dir)
+    if out_dir is not None:
+        decisions.write.mode("overwrite").parquet(out_dir)
+        decisions = spark.read.parquet(out_dir)
+    apply_transitions(spark, docs.filter(batch_pred), decisions, state_dir)
+    return decisions

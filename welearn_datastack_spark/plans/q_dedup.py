@@ -311,6 +311,71 @@ def incremental_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_increment_pipeline",
+    _SHINGLES_CTE
+    + f"""
+    , base AS (
+      SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
+    ), hashes AS (
+      SELECT doc_id, seed,
+             ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
+      FROM base, unnest(generate_series(0, 7)) AS s(seed)
+    ), sigs AS (
+      SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    ), near AS (
+      SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS n_near
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.band_key = o.band_key
+      WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 != 0
+      GROUP BY n.doc_id
+    ), exact AS (
+      SELECT i.doc_id, MIN(s.doc_id) AS exact_dup_of
+      FROM documents i JOIN documents s
+        ON md5(trim(regexp_replace(lower(i.text), '\\s+', ' ', 'g'))) =
+           md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g')))
+       AND i.doc_id % 5 = 0 AND s.doc_id % 5 != 0
+      GROUP BY i.doc_id
+    )
+    SELECT i.doc_id, e.exact_dup_of,
+           CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_candidates,
+           CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+                ELSE 'new' END AS state
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+    doc="The COMPOSED incremental-ingest pipeline end-to-end "
+    "(pipeline/ingest_increment.py — jobs.py `ingest-increment` is "
+    "the CLI twin): the stored corpus's dedup state (content-hash "
+    "store + LSH band store) is MATERIALIZED to parquet, then the "
+    "incoming batch (mod-5 split) is probed against the PERSISTED "
+    "state — exact-dup via the content-hash join, near-dup via the "
+    "band probe — and every incoming document gets a dedup decision "
+    "(exact_dup / near_dup / new). The batch is hashed and shingled "
+    "in-engine; the corpus side is a plain parquet scan of the state "
+    "store (never re-shingled), so probe cost scales with |batch|, "
+    "not |corpus| — the plan-shape test pins that the probe reads "
+    "the band_store files and scans the documents table exactly "
+    "once (tests/test_e2e_pipeline.py). At 100 TB the state store "
+    "is written bucketed by band_key / content_hash so the probe "
+    "joins are bucket-local with zero corpus-side exchange.",
+)
+def ingest_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.ingest_increment import build_state, probe_batch
+    from .q_extra import _gate_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    state_dir = _gate_scratch("ingest_incr", sf_dir) + "/state"
+    build_state(docs.filter(F.col("doc_id") % 5 != 0), state_dir)
+    return probe_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), state_dir)
+
+
+@register(
     "simhash_fingerprints",
     f"""
     WITH toks AS (

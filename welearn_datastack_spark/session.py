@@ -86,6 +86,14 @@ def get_spark(app_name: str = "welearn-spark", shuffle_partitions: int | None = 
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/welearn_warehouse"),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/gate startup cost); bench.py flips it
+        # on via SPARK_GRAFT_UI to read per-query shuffle bytes from
+        # the status REST API. retainedStages is raised so cumulative
+        # stage metrics never lose history mid-bench (the default 1000
+        # evicts stages during a 79-query x 5-run session, which would
+        # silently corrupt delta-based byte accounting).
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.retainedStages", "500000")
+        .config("spark.ui.retainedJobs", "500000")
     )
     return builder.getOrCreate()
