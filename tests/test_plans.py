@@ -198,6 +198,11 @@ _EXCHANGE_BUDGET = {
     # defeat) + chunk-pair sub-split branches; a drop below this count
     # is fine, but growth means pair generation re-serialized
     "simhash_near_pairs": 8,
+    # batch shingle/minhash aggs + band-probe join + near/exact
+    # left joins; the stored state sides are plain parquet scans
+    # (broadcast at toy SF, bucket-local at scale) — growth means the
+    # corpus side started re-shingling or re-shuffling
+    "ingest_increment_pipeline": 5,
 }
 
 

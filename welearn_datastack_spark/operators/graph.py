@@ -238,8 +238,15 @@ def connected_components_star(
         e.select(F.col("v").alias("node"), F.col("v").alias("component"))
     )
     resolved = labels.groupBy("node").agg(F.min("component").alias("component"))
+    # self-loop-only nodes become singleton components. Subtracting
+    # the full label set from the (tiny, typically empty) self-loop
+    # set must NOT shuffle the node set: broadcast the tiny side into
+    # a semi-probe over labels (map-side, zero exchange), then
+    # anti-join the tiny hit list back — both joins broadcast, so the
+    # singleton branch adds no Exchange to the pipeline budget.
+    hits = labels.join(F.broadcast(self_loop_nodes), on="node", how="left_semi")
     singletons = self_loop_nodes.join(
-        labels.select("node").dropDuplicates(["node"]), on="node", how="left_anti"
+        F.broadcast(hits), on="node", how="left_anti"
     ).select("node", F.col("node").alias("component"))
     return resolved.unionByName(singletons)
 
