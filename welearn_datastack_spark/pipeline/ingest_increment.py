@@ -68,6 +68,39 @@ def build_state(docs: DataFrame, state_dir: str) -> None:
     band_keys(docs).write.mode("overwrite").parquet(f"{state_dir}/band_store")
 
 
+def build_state_bucketed(
+    docs: DataFrame, table_prefix: str, n_buckets: int = 8
+) -> None:
+    """The production layout for the state store: BUCKETED tables
+    (``{prefix}_doc_hashes`` by content_hash, ``{prefix}_band_store``
+    by (band, band_key)), so the per-batch probe joins satisfy their
+    ClusteredDistribution straight from the scan — the corpus side of
+    every probe join carries ZERO Exchange; only the (small) batch
+    side shuffles, into the bucket count. This is the demonstrated
+    form of the docstring's 100 TB claim — parity and the exchange
+    delta vs the path-based store are pinned in
+    tests/test_bucketed_layout.py."""
+    spark = docs.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_doc_hashes")
+    (
+        content_hashes(docs)
+        .write.format("parquet")
+        .bucketBy(n_buckets, "content_hash")
+        .sortBy("content_hash")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_doc_hashes")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_band_store")
+    (
+        band_keys(docs)
+        .write.format("parquet")
+        .bucketBy(n_buckets, "band", "band_key")
+        .sortBy("band", "band_key")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_band_store")
+    )
+
+
 def probe_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> DataFrame:
     """Per-incoming-document dedup decision against the PERSISTED
     state — the batch is hashed/shingled in-engine, the corpus side is
@@ -82,7 +115,26 @@ def probe_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> DataFr
       - otherwise state 'new'."""
     stored_hashes = spark.read.parquet(f"{state_dir}/doc_hashes")
     stored_bands = spark.read.parquet(f"{state_dir}/band_store")
+    return _probe(batch, stored_hashes, stored_bands)
 
+
+def probe_batch_bucketed(
+    spark: SparkSession, batch: DataFrame, table_prefix: str
+) -> DataFrame:
+    """:func:`probe_batch` against the bucketed-table state layout
+    (:func:`build_state_bucketed`): identical decisions, but the
+    corpus-side scans report HashPartitioning from the bucket spec so
+    neither probe join shuffles stored data."""
+    return _probe(
+        batch,
+        spark.table(f"{table_prefix}_doc_hashes"),
+        spark.table(f"{table_prefix}_band_store"),
+    )
+
+
+def _probe(
+    batch: DataFrame, stored_hashes: DataFrame, stored_bands: DataFrame
+) -> DataFrame:
     exact = (
         content_hashes(batch)
         .join(
