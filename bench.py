@@ -114,6 +114,7 @@ HEADLINE = [
     "snapshot_tail_read",
     "shard_export_assignment",
     "ingest_increment_pipeline",
+    "stream_ingest_probe",
     "hal_extraction_roundtrip",
     "open_alex_extraction_roundtrip",
     "ted_extraction_roundtrip",

@@ -164,3 +164,68 @@ def test_ingest_increment_end_to_end(spark, sf_dir, tmp_path):
     assert {(r["doc_id"], r["state"]) for r in composed.collect()} == {
         (r["doc_id"], r["state"]) for r in rows
     }
+
+
+def test_stream_ingest_probe_exactly_once(spark, sf_dir, tmp_path):
+    """The streaming drop-folder ingest: two arrivals processed by two
+    checkpointed availableNow invocations, then a third invocation
+    with NO new files — which must decide nothing (exactly-once file
+    tracking). Phase-B decisions must see phase-A admissions."""
+    import glob
+    import shutil
+
+    from welearn_datastack_spark.pipeline.ingest_increment import build_state
+    from welearn_datastack_spark.streaming.state_machine import stream_ingest_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    work = str(tmp_path)
+    build_state(docs.filter(m.isin(1, 2, 3)), f"{work}/state")
+    src = f"{work}/incoming"
+
+    def land(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{work}/tmp_{name}")
+        part = glob.glob(f"{work}/tmp_{name}/part-*.parquet")[0]
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    land(docs.filter(m == 4), "a")
+    stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
+    n_a = spark.read.parquet(f"{work}/out").count()
+    assert n_a == docs.filter(m == 4).count()
+
+    land(docs.filter(m == 0), "b")
+    stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
+    out = spark.read.parquet(f"{work}/out")
+    assert out.count() == docs.filter(m.isin(0, 4)).count()
+
+    # a B doc whose content hash matches an ADMITTED (state=new) A doc
+    # must be flagged exact_dup — phase B saw phase A's transitions
+    rows = {r["doc_id"]: r for r in out.collect()}
+    from welearn_datastack_spark.pipeline.ingest_increment import content_hashes
+
+    ch = {r["doc_id"]: r["content_hash"] for r in content_hashes(docs).collect()}
+    admitted_a = {
+        d for d, r in rows.items() if d % 5 == 4 and r["state"] == "new"
+    }
+    admitted_hashes = {ch[d] for d in admitted_a}
+    corpus_hashes = {
+        r["doc_id"]: r["content_hash"]
+        for r in content_hashes(docs.filter(m.isin(1, 2, 3))).collect()
+    }
+    cross = [
+        d
+        for d in rows
+        if d % 5 == 0
+        and ch[d] in admitted_hashes
+        and ch[d] not in corpus_hashes.values()
+    ]
+    for d in cross:
+        assert rows[d]["state"] == "exact_dup", (d, rows[d])
+
+    # third invocation, no new files: the checkpoint remembers both
+    # consumed files — nothing is re-decided, the log does not grow
+    stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
+    assert spark.read.parquet(f"{work}/out").count() == out.count()

@@ -848,3 +848,132 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_len").cast("int").alias("chunk_len"),
         shared.alias("is_shared"),
     )
+
+
+@register(
+    "stream_ingest_probe",
+    _SHINGLES_CTE
+    + f"""
+    , base AS (
+      SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
+    ), hashes AS (
+      SELECT doc_id, seed,
+             ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
+      FROM base, unnest(generate_series(0, 7)) AS s(seed)
+    ), sigs AS (
+      SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    ), ch AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+             doc_id % 5 AS m
+      FROM documents
+    ),
+    -- phase A: files for group m=4 arrive; probe against the corpus
+    -- state (m IN (1,2,3))
+    exact_a AS (
+      SELECT i.doc_id, MIN(s.doc_id) AS exact_dup_of
+      FROM ch i JOIN ch s ON i.content_hash = s.content_hash
+      WHERE i.m = 4 AND s.m IN (1, 2, 3)
+      GROUP BY i.doc_id
+    ), near_a AS (
+      SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS n_near
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.band_key = o.band_key
+      JOIN ch cn ON cn.doc_id = n.doc_id
+      JOIN ch co ON co.doc_id = o.doc_id
+      WHERE cn.m = 4 AND co.m IN (1, 2, 3)
+      GROUP BY n.doc_id
+    ), dec_a AS (
+      SELECT i.doc_id, e.exact_dup_of,
+             CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_candidates,
+             CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                  WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+                  ELSE 'new' END AS state
+      FROM (SELECT doc_id FROM ch WHERE m = 4) i
+      LEFT JOIN exact_a e ON e.doc_id = i.doc_id
+      LEFT JOIN near_a n ON n.doc_id = i.doc_id
+    ),
+    -- between triggers the admitted (state='new') A documents joined
+    -- the state store; phase B (m=0) probes corpus ∪ admitted-A
+    stored_b AS (
+      SELECT doc_id FROM ch WHERE m IN (1, 2, 3)
+      UNION ALL
+      SELECT doc_id FROM dec_a WHERE state = 'new'
+    ), exact_b AS (
+      SELECT i.doc_id, MIN(s.doc_id) AS exact_dup_of
+      FROM ch i JOIN ch s ON i.content_hash = s.content_hash
+      JOIN stored_b sb ON sb.doc_id = s.doc_id
+      WHERE i.m = 0
+      GROUP BY i.doc_id
+    ), near_b AS (
+      SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS n_near
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.band_key = o.band_key
+      JOIN ch cn ON cn.doc_id = n.doc_id
+      JOIN stored_b sb ON sb.doc_id = o.doc_id
+      WHERE cn.m = 0
+      GROUP BY n.doc_id
+    ), dec_b AS (
+      SELECT i.doc_id, e.exact_dup_of,
+             CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_candidates,
+             CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                  WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+                  ELSE 'new' END AS state
+      FROM (SELECT doc_id FROM ch WHERE m = 0) i
+      LEFT JOIN exact_b e ON e.doc_id = i.doc_id
+      LEFT JOIN near_b n ON n.doc_id = i.doc_id
+    )
+    SELECT * FROM dec_a UNION ALL SELECT * FROM dec_b
+    """,
+    doc="STREAMING incremental ingest (streaming/state_machine."
+    "stream_ingest_probe): document files arrive in a drop folder; a "
+    "checkpointed availableNow file stream probes each micro-batch "
+    "against the persisted dedup state inside foreachBatch and "
+    "appends per-document decisions, then transitions the state with "
+    "the admitted NEW documents. The gate drives TWO stream "
+    "invocations against one checkpoint — files for doc_id%5==4 "
+    "land first, then files for %5==0 — so phase B's decisions must "
+    "reflect phase A's admissions (corpus ∪ admitted-A), and the "
+    "checkpoint's exactly-once file tracking guarantees no document "
+    "is re-decided. The oracle replays both phases declaratively: "
+    "dec_a against the corpus (m∈{1,2,3}), dec_b against corpus ∪ "
+    "dec_a's state='new' rows. Per-trigger cost is O(|new files|) — "
+    "the corpus side is the persisted state store, bucketed at scale "
+    "(build_state_bucketed) so the probe joins carry zero corpus "
+    "exchange.",
+)
+def stream_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from ..pipeline.ingest_increment import build_state
+    from ..streaming.state_machine import stream_ingest_probe
+    from .q_extra import _gate_scratch
+
+    work = _gate_scratch("stream_ingest", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    build_state(docs.filter(m.isin(1, 2, 3)), f"{work}/state")
+    src = f"{work}/incoming"
+    os.makedirs(src, exist_ok=True)
+
+    def land(df, name):
+        tmp = f"{work}/tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    # two arrivals, one checkpoint: the second invocation processes
+    # ONLY the b file (exactly-once), against the A-transitioned state
+    land(docs.filter(m == 4), "a")
+    stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
+    land(docs.filter(m == 0), "b")
+    stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
+    # |docs|·2/5 rows — scales with SF, so return the LAZY parquet
+    # read of the decision log, never a driver collect
+    return spark.read.parquet(f"{work}/out")

@@ -263,3 +263,56 @@ def stream_session_counts(
     )
     q.awaitTermination()
     return q
+
+
+def stream_ingest_probe(
+    spark: SparkSession,
+    docs_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> Any:
+    """Streaming incremental ingest — the R4 (exactly-once file
+    tracking) + R5 (stream joins static state) composition of
+    ``pipeline/ingest_increment``: document files ARRIVE in
+    ``docs_path``; each micro-batch is probed against the persisted
+    dedup state (content-hash + LSH band stores — batch-native joins
+    inside ``foreachBatch``), the per-document decisions APPEND to
+    ``out_dir``, and admitted NEW documents transition the state so
+    later micro-batches see them as duplicates. The checkpoint makes
+    ingestion restart-driven: invoking the stream again after new
+    files land processes ONLY the new files (consumed files are
+    remembered exactly-once), which is how a production drop-folder
+    ingest runs on a cadence. Decisions are written BEFORE the state
+    transition, so each document's decision reflects the state at its
+    own arrival — replaying the log reproduces the admission history.
+
+    At 100 TB the state store is the bucketed-table layout
+    (``pipeline/ingest_increment.build_state_bucketed``): the probe
+    joins inside every micro-batch read the corpus side shuffle-free,
+    so per-trigger cost is O(|new files|), never O(|corpus|)."""
+    from ..pipeline.ingest_increment import apply_transitions, probe_batch
+
+    schema = spark.read.parquet(docs_path).schema
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # pin the decisions before the writes: they derive from a lazy
+        # probe over the very state files apply_transitions appends to
+        decisions = probe_batch(spark, batch_df, state_dir).localCheckpoint(
+            eager=True
+        )
+        decisions.write.mode("append").parquet(out_dir)
+        apply_transitions(spark, batch_df, decisions, state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(docs_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
