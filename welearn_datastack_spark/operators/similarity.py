@@ -402,6 +402,33 @@ def sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def baked_centroid_scores(vec_col, cent_rows, kind, round_digits=6):
+    """Per-centroid (score, tie) structs with the k centroid vectors
+    baked as LITERALS — the quantizer is bounded (k rows, a justified
+    driver collect), so corpus-side assignment and query-side probe
+    ranking become pure map expressions over the scan: the corpus
+    embedding column is never shuffled for quantizer assignment.
+    ``kind`` 'cosine' yields structs whose ``array_max`` is (best
+    cos, tie → smallest cent_id via negated tie field); 'sqdist'
+    yields structs whose ``array_min`` is (smallest d2, tie →
+    smallest cent_id). Tie fields are longs so a surfaced cluster id
+    keeps the id column's type."""
+    structs = []
+    for cid, vec in sorted(cent_rows):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        if kind == "cosine":
+            sc = F.round(cosine(vec_col, lit), round_digits)
+            structs.append(
+                F.struct(sc.alias("s"), F.lit(-int(cid)).cast("long").alias("t"))
+            )
+        else:
+            sc = F.round(sqdist(vec_col, lit), round_digits)
+            structs.append(
+                F.struct(sc.alias("s"), F.lit(int(cid)).cast("long").alias("t"))
+            )
+    return F.array(*structs)
+
+
 def kmeans_fixed(
     vectors: DataFrame,
     init_ids: tuple,
@@ -417,20 +444,27 @@ def kmeans_fixed(
     quantizer (centroids LEARNED from the data instead of picked),
     and the index-build step a production IVF would run.
 
-    Per iteration: (1) assignment — the k×dim centroid table is
-    broadcast and each vector scores against it map-side (squared
-    Euclidean; on L2-normalized corpora argmin-L2 == argmax-cosine),
-    reduced by a map-side-combinable ``min_by`` so the shuffle carries
-    one pre-reduced row per vector; (2) update — per-dimension
-    ``avg`` as k·dim partial aggregates (map-side combine, shuffle
-    carries k×dim partials, independent of corpus size);
-    ``localCheckpoint`` truncates lineage per iteration exactly as
-    the PageRank/BFS loops do (operators/graph.py). Distances and
-    updated centroid components are rounded to ``round_digits`` each
-    step so partial-aggregation order can never flip an assignment
-    across engines or runs. Fixed iterations (not convergence-test)
-    keep the result deterministic and oracle-checkable; production
-    loops until centroid drift < ε with the same body. A cluster that
+    Per iteration: (1) assignment — the quantizer is BOUNDED (k rows
+    of dim doubles), so the current centroids are held as baked
+    literals and every vector's argmin is a pure map expression over
+    the scan (:func:`baked_centroid_scores`): the embedding column is
+    never shuffled, in any iteration; (2) update — per-dimension
+    ``avg`` grouped by the (map-computed) cluster id, k·dim partial
+    aggregates with map-side combine, so the one shuffle per
+    iteration carries k×dim partials per task, independent of corpus
+    size; the k-row result is collected (bounded, the same justified
+    collect as the ivf_*_topk quantizers) to become the next
+    iteration's literals — which also truncates lineage, so no
+    checkpoint is needed. Round-8's shuffle-byte audit motivated this
+    shape: the previous broadcast-join + min_by assignment shuffled
+    one embedding-carrying row per vector per iteration (34 MB at
+    sf3, growing linearly), where this plan's per-iteration shuffle
+    is a few KiB at any corpus size. Distances and updated centroid
+    components are rounded to ``round_digits`` each step so
+    partial-aggregation order can never flip an assignment across
+    engines or runs. Fixed iterations (not convergence-test) keep
+    the result deterministic and oracle-checkable; production loops
+    until centroid drift < ε with the same body. A cluster that
     loses every member drops out (no re-seeding), same as the SQL
     twin. Returns the FINAL assignment (id, cluster, d2); with
     ``with_centroids`` also the final (cent_id, ce) centroid table —
@@ -439,38 +473,50 @@ def kmeans_fixed(
     assert n_iter >= 1, "n_iter must be >= 1"
     assert len(init_ids) >= 1, "init_ids must seed at least one centroid"
     vid = F.col(id_col)
-    cents = (
-        vectors.filter(vid.isin(*init_ids))
+    # seed rounding stays Spark-side (F.round is HALF_UP; Python's
+    # round is HALF_EVEN — a driver-side round would silently diverge
+    # from the SQL twin on .xxxxx5 components)
+    cent_rows = [
+        (r["cent_id"], list(r["ce"]))
+        for r in vectors.filter(vid.isin(*init_ids))
         .select(
             vid.alias("cent_id"),
-            F.transform(F.col(vec_col), lambda x: F.round(_d(x), round_digits)).alias("ce"),
+            F.transform(
+                F.col(vec_col), lambda x: F.round(_d(x), round_digits)
+            ).alias("ce"),
         )
-        .localCheckpoint(eager=True)
-    )
+        .collect()
+    ]
     assign = None
     for it in range(n_iter):
-        scored = vectors.crossJoin(F.broadcast(cents)).select(
+        scores = baked_centroid_scores(
+            F.col(vec_col), cent_rows, "sqdist", round_digits
+        )
+        best = F.array_min(scores)
+        assign = vectors.select(
             vid,
             F.col(vec_col),
-            F.col("cent_id"),
-            F.round(sqdist(F.col(vec_col), F.col("ce")), round_digits).alias("d2"),
-        )
-        assign = scored.groupBy(id_col).agg(
-            F.min_by("cent_id", F.struct(F.col("d2"), F.col("cent_id"))).alias("cluster"),
-            F.min("d2").alias("d2"),
-            F.first(F.col(vec_col)).alias("__v"),
+            best["t"].alias("cluster"),
+            best["s"].alias("d2"),
         )
         if it < n_iter - 1:  # the final assignment IS the output — no
-            # update after it (an eager C_n would burn one k×dim
-            # shuffle for a table nothing reads)
-            cents = (
-                assign.groupBy(F.col("cluster").alias("cent_id"))
+            # update after it (a C_n nothing reads)
+            cent_rows = [
+                (r["cluster"], [r[f"__c{i}"] for i in range(dim)])
+                for r in assign.groupBy("cluster")
                 .agg(
-                    F.array(
-                        *[F.round(F.avg(F.col("__v")[i]), round_digits) for i in range(dim)]
-                    ).alias("ce")
+                    *[
+                        F.round(F.avg(F.col(vec_col)[i]), round_digits).alias(f"__c{i}")
+                        for i in range(dim)
+                    ]
                 )
-                .localCheckpoint(eager=True)
-            )
+                .collect()
+            ]
     out = assign.select(vid, "cluster", "d2")
-    return (out, cents) if with_centroids else out
+    if not with_centroids:
+        return out
+    cents = vectors.sparkSession.createDataFrame(
+        [(int(cid), list(vec)) for cid, vec in sorted(cent_rows)],
+        schema="cent_id long, ce array<double>",
+    )
+    return (out, cents)

@@ -258,57 +258,43 @@ SELECT q_id, c_id, cosine, rnk FROM (
     doc="Similarity search, IVF scale path: coarse-quantize the corpus "
     "into 8 centroid lists (assignment = nearest centroid by cosine), "
     "queries probe their 2 nearest lists, exact search only within "
-    "probed lists. At 100 TB: centroids are a broadcast table, "
-    "assignment is one map-side pass, and the probe join shuffles on "
-    "the list id — search cost scales with probed-list size, not |C|.",
+    "probed lists. At 100 TB: the k centroids are baked literals "
+    "(bounded collect), so assignment AND probe ranking are map "
+    "expressions over the scan; candidates score inside a broadcast "
+    "join on the list id, so the corpus embedding column is NEVER "
+    "shuffled — the only exchange is the narrow (q_id, c_id, cosine) "
+    "top-k. Round-8 shuffle-byte audit caught the previous plan's "
+    "c_id-keyed embedding shuffle growing 45x across one sf1→sf3 "
+    "step once the corpus outgrew the broadcast threshold.",
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_pairs
+    from ..operators.similarity import cosine
     from ..operators.topk import top_k_by
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"), "embedding"
-    )
-    # nearest-centroid scores for every vector — the CENTROIDS are the
-    # broadcast side (k rows; broadcasting the corpus would invert the
-    # build side and break at scale), and corpus-side assignment is a
-    # map-side-combinable arg-max (max_by under partial aggregation)
-    # instead of a window, so the only assignment shuffle carries one
-    # pre-reduced row per vector
-    to_cent = cosine_pairs(
-        centroids.select(F.col("cent_id").alias("q_id"), "embedding"),
-        emb.select(F.col("vec_id").alias("c_id"), "embedding"),
-    ).select(F.col("c_id").alias("vec_id"), F.col("q_id").alias("cent_id"), F.col("cosine").alias("cos"))
-    assign = (
-        to_cent.filter(F.col("vec_id") >= 10)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
-            ).alias("cent_id")
-        )
-        .select(F.col("vec_id").alias("c_id"), "cent_id")
+    cent_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).collect()
+    ]
+    from ..operators.similarity import baked_centroid_scores
+
+    scores = baked_centroid_scores(F.col("embedding"), cent_rows, "cosine")
+    lists = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        (-F.array_max(scores)["t"]).alias("cent_id"),
     )
     probes = (
-        top_k_by(
-            to_cent.filter(F.col("vec_id") < 10),
-            ["vec_id"],
-            [F.desc("cos"), F.asc("cent_id")],
-            k=2,
-            rank_col="__r",
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.slice(F.sort_array(scores, asc=False), 1, 2)).alias("p"),
         )
-        .select(F.col("vec_id").alias("q_id"), "cent_id")
+        .select("q_id", "qe", (-F.col("p")["t"]).alias("cent_id"))
     )
-    cand = probes.join(assign, on="cent_id").select("q_id", "c_id")
-    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
-    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
-    from ..operators.similarity import cosine
-
-    scored = (
-        cand.join(F.broadcast(qv), on="q_id")
-        .join(cv, on="c_id")
-        .select("q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"))
+    scored = lists.join(F.broadcast(probes), on="cent_id").select(
+        "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
     )
     return top_k_by(scored, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
         "q_id", "c_id", "cosine", "rnk"
@@ -1141,30 +1127,39 @@ SELECT q_id, c_id, cosine, rnk FROM (
     "map-side assignment, shuffle on list id).",
 )
 def ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine, kmeans_fixed, sqdist
+    from ..operators.similarity import cosine, kmeans_fixed
     from ..operators.topk import top_k_by
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assign, cents = kmeans_fixed(emb, _CENTROID_IDS, n_iter=3, with_centroids=True)
-    lists = assign.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("c_id"), "cluster"
+    # the index build runs the full distributed Lloyd loop; only the
+    # FINAL k-row quantizer is collected (bounded), and serve-side
+    # assignment is recomputed map-side from those baked centroids —
+    # kmeans_fixed's returned assignment was computed against exactly
+    # these centroids with the same rounded-d2 min-(d2, cent_id)
+    # rule, so the map-side recompute is bit-identical to it while
+    # keeping the corpus embedding column out of every serve shuffle
+    # (same audit finding as ivf_ann_topk)
+    _, cents = kmeans_fixed(emb, _CENTROID_IDS, n_iter=3, with_centroids=True)
+    cent_rows = [(r["cent_id"], list(r["ce"])) for r in cents.collect()]
+    from ..operators.similarity import baked_centroid_scores
+
+    scores = baked_centroid_scores(F.col("embedding"), cent_rows, "sqdist")
+    lists = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.array_min(scores)["t"].alias("cluster"),
     )
-    queries = emb.filter(F.col("vec_id") < 10)
-    scored_q = queries.crossJoin(F.broadcast(cents)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("cent_id").alias("cluster"),
-        F.round(sqdist(F.col("embedding"), F.col("ce")), 6).alias("d2"),
+    probes = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.slice(F.sort_array(scores), 1, 2)).alias("p"),
+        )
+        .select("q_id", "qe", F.col("p")["t"].alias("cluster"))
     )
-    probes = top_k_by(
-        scored_q, ["q_id"], [F.asc("d2"), F.asc("cluster")], k=2, rank_col="__r"
-    ).select("q_id", "cluster")
-    cand = probes.join(lists, on="cluster").select("q_id", "c_id")
-    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
-    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
-    scored = (
-        cand.join(F.broadcast(qv), on="q_id")
-        .join(cv, on="c_id")
-        .select("q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"))
+    scored = lists.join(F.broadcast(probes), on="cluster").select(
+        "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
     )
     return top_k_by(scored, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
         "q_id", "c_id", "cosine", "rnk"
