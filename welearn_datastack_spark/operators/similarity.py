@@ -402,7 +402,7 @@ def sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def baked_centroid_scores(vec_col, cent_rows, kind, round_digits=6):
+def baked_centroid_scores(vec_col, cent_rows, kind, round_digits=6, norm_col=None):
     """Per-centroid (score, tie) structs with the k centroid vectors
     baked as LITERALS — the quantizer is bounded (k rows, a justified
     driver collect), so corpus-side assignment and query-side probe
@@ -412,12 +412,23 @@ def baked_centroid_scores(vec_col, cent_rows, kind, round_digits=6):
     cos, tie → smallest cent_id via negated tie field); 'sqdist'
     yields structs whose ``array_min`` is (smallest d2, tie →
     smallest cent_id). Tie fields are longs so a surfaced cluster id
-    keeps the id column's type."""
+    keeps the id column's type.
+
+    For the cosine kind, pass ``norm_col`` — a pre-projected
+    ``l2_norm(vec_col)`` column — so the row's norm folds once
+    instead of once per centroid; each CENTROID's norm is a driver
+    constant computed with the same sequential left-fold + sqrt the
+    Spark expression uses (Python float IS an IEEE double), so the
+    scores are bit-identical to ``cosine(vec_col, lit)``."""
+    import math
+
     structs = []
     for cid, vec in sorted(cent_rows):
         lit = F.array(*[F.lit(float(x)) for x in vec])
         if kind == "cosine":
-            sc = F.round(cosine(vec_col, lit), round_digits)
+            nv = norm_col if norm_col is not None else l2_norm(vec_col)
+            lit_norm = math.sqrt(sum(float(x) * float(x) for x in vec))
+            sc = F.round(dot(vec_col, lit) / (nv * F.lit(lit_norm)), round_digits)
             structs.append(
                 F.struct(sc.alias("s"), F.lit(-int(cid)).cast("long").alias("t"))
             )

@@ -276,16 +276,23 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], list(r["embedding"]))
         for r in emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).collect()
     ]
-    from ..operators.similarity import baked_centroid_scores
+    from ..operators.similarity import baked_centroid_scores, l2_norm
 
-    scores = baked_centroid_scores(F.col("embedding"), cent_rows, "cosine")
-    lists = emb.filter(F.col("vec_id") >= 10).select(
+    # project the row norm ONCE; each centroid's score then costs one
+    # dot fold instead of a dot plus two norm folds
+    base = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
+    )
+    scores = baked_centroid_scores(
+        F.col("embedding"), cent_rows, "cosine", norm_col=F.col("__nrm")
+    )
+    lists = base.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("ce"),
         (-F.array_max(scores)["t"]).alias("cent_id"),
     )
     probes = (
-        emb.filter(F.col("vec_id") < 10)
+        base.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qe"),
