@@ -203,6 +203,18 @@ _EXCHANGE_BUDGET = {
     # (broadcast at toy SF, bucket-local at scale) — growth means the
     # corpus side started re-shingling or re-shuffling
     "ingest_increment_pipeline": 5,
+    # baked-literal quantizer serve paths (round 8): assignment and
+    # probe ranking are map expressions, candidates score inside a
+    # broadcast join on the list id — the ONE exchange is the narrow
+    # (q_id, c_id, cosine) top-k window; growth means corpus
+    # embeddings started shuffling again (the byte decay the round-8
+    # audit caught)
+    "ivf_ann_topk": 1,
+    "ivf_learned_topk": 1,
+    # Lloyd's per-iteration update shuffles k×dim partials inside the
+    # build collects; the RETURNED assignment frame is a pure map
+    # over the scan — zero exchanges
+    "kmeans_3iter": 0,
 }
 
 
