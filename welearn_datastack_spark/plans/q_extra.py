@@ -346,7 +346,15 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tagged.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
     )
-    pairs = q.join(c, on="bucket").select(
+    # the PROBE side is bounded (|Q| query vectors) — broadcast it
+    # explicitly: both sides derive from the same scan, so Catalyst
+    # estimates q at corpus size and would otherwise shuffle every
+    # corpus embedding on the bucket key (measured: 906 B at sf1
+    # flipping to 16 MB at sf3 when the misestimated side outgrew the
+    # threshold). With the broadcast the corpus is map-scanned only;
+    # the large-|Q| regime instead pre-buckets BOTH sides in storage
+    # (bucketed layout, §6) rather than broadcasting.
+    pairs = F.broadcast(q).join(c, on="bucket").select(
         "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
     )
     return top_k_by(pairs, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
