@@ -246,6 +246,41 @@ def test_connected_components_star_empty_and_nulls(spark):
     assert connected_components_star(empty).count() == 0
 
 
+def test_star_edges_matches_pair_closure(spark):
+    """star_edges (bucket-min → member) must yield IDENTICAL connected
+    components to the full |bucket|²/2 candidate-pair stream — the
+    equivalence that lets dedup_clusters/dedup_canonical_pick feed CC
+    a linear edge object instead of the quadratic pair stream. Also
+    pins the linear edge-count contract: Σ(bucket size − 1) before
+    cross-bucket dedup, src = bucket min < dst."""
+    from welearn_datastack_spark.operators.dedup import lsh_candidates, star_edges
+    from welearn_datastack_spark.operators.graph import connected_components_star
+
+    # band-key layout mirroring lsh_band_keys output: one mega-bucket
+    # (a 12-clique in pair form), overlapping buckets that chain
+    # components together, and singletons that must emit nothing
+    rows = (
+        [(i, 0, "hot") for i in range(12)]
+        + [(11, 1, "bridge"), (20, 1, "bridge")]
+        + [(20, 0, "b2"), (21, 0, "b2")]
+        + [(30, 0, "solo")]
+        + [(40, 1, "x"), (41, 1, "x")]
+    )
+    bands = spark.createDataFrame(rows, "doc_id bigint, band int, band_key string")
+    edges = star_edges(bands, ["band", "band_key"], "doc_id")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # hot bucket: 11 star edges, not 66 pairs; singleton bucket: none
+    assert {(0, i) for i in range(1, 12)} <= got
+    assert all(s < d for s, d in got)
+    assert len(got) == 11 + 1 + 1 + 1
+    pairs = lsh_candidates(bands, "doc_id").selectExpr("a_id AS src", "b_id AS dst")
+    cc_star = {r["node"]: r["component"] for r in connected_components_star(edges).collect()}
+    cc_pairs = {r["node"]: r["component"] for r in connected_components_star(pairs).collect()}
+    assert cc_star == cc_pairs
+    # the bridge chains {0..11}+{20,21} into one component rooted at 0
+    assert cc_star[21] == 0 and cc_star[40] == 40
+
+
 def test_sketch_profile_error_bounds(spark):
     """Sketch estimates must sit within their advertised error of the
     exact answers (the contract that makes them usable as a profiling

@@ -228,6 +228,37 @@ def test_dedup_lsh_exchange_budgets(spark, sf_dir):
         )
 
 
+def test_cc_input_is_star_edges_not_pairs(spark, sf_dir):
+    """dedup_clusters/dedup_canonical_pick feed connected components
+    per-bucket STAR edges, not the |bucket|²/2 pair stream — the CC
+    input frame's plan must contain NO combinatorial pair expansion
+    (lsh_candidates' flatten(transform(sequence ...)) shape) and stay
+    within the linear pipeline's exchange budget. Built here exactly
+    as the queries build it (they execute CC eagerly, so the
+    registry-level plan only shows the post-CC label agg)."""
+    from welearn_datastack_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+        star_edges,
+        word_shingles,
+    )
+    from welearn_datastack_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
+    bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+    edges = star_edges(bands, ["band", "band_key"], "doc_id")
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "flatten(transform(sequence" not in plan, (
+        "quadratic pair expansion crept back into the CC edge input:\n" + plan[:1500]
+    )
+    # shingle agg + band agg + bucket-min window + edge dedup — every
+    # exchange carries ≤ |D|·n_bands narrow rows
+    got = plan.count("Exchange hashpartitioning")
+    assert got <= 4, f"{got} hash exchanges in the star-edge pipeline\n{plan[:1500]}"
+
+
 def test_snapshot_tail_filter_pushed_to_log_scan(spark, sf_dir):
     """The whole point of the snapshot+tail read is that `ts >
     watermark` PRUNES the log scan (row-group min/max skip old

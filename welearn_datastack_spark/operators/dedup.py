@@ -332,6 +332,43 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Data
     )
 
 
+def star_edges(bucketed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """Per-bucket STAR edges for connected-components consumers:
+    each bucket of size bs contributes bs−1 edges (bucket-min member →
+    every other member) instead of :func:`lsh_candidates`'
+    bs·(bs−1)/2 pairs. Components are provably identical: every star
+    edge is itself a valid candidate pair (both endpoints share the
+    bucket), so the star graph is a subgraph of the pair graph; and
+    any candidate pair (u, v) sharing bucket B is connected through
+    min(B) by two star edges, so the pair graph adds no connectivity
+    the star graph lacks. Equal edge closure ⇒ equal components.
+
+    This removes the last avoidable quadratic byte object from the
+    dedup→clustering path: on a duplicate-heavy corpus a clique's
+    pair stream dominates every shuffle downstream, while its star
+    stream is linear in bucket size — the whole edge set is bounded
+    by the ``bucketed`` input row count (|D|·n_bands for LSH), not by
+    Σ bucket². Pair emission stays the right shape when the consumer
+    actually scores pairs (Jaccard verification, hamming cuts —
+    :func:`simhash_near_pairs` needs pairwise distances, which a star
+    through the bucket min cannot certify); use THIS when the
+    consumer is transitive-closure clustering and bucket-sharing is
+    the edge relation.
+
+    One window over the bucket key (the same exchange the pair path
+    pays to group buckets) + a dedup over the ≤|input|-row edge
+    stream. Output (src, dst), src = bucket min < dst; singleton
+    buckets emit nothing, matching ``lsh_candidates``' size>1
+    filter."""
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        bucketed.withColumn("__m", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) != F.col("__m"))
+        .select(F.col("__m").alias("src"), F.col(id_col).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def incremental_lsh_candidates(
     stored_bands: DataFrame, new_bands: DataFrame, id_col: str
 ) -> DataFrame:

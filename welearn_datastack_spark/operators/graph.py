@@ -120,7 +120,7 @@ def connected_components_star(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iters: int = 25,
+    max_iters: int = 50,
     stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
@@ -140,12 +140,15 @@ def connected_components_star(
     groupBy-min + join passes keyed on node id (no broadcast, no
     driver data), ``localCheckpoint`` truncates lineage, and a
     count+hash checksum detects convergence. If the checksum has not
-    stabilized within ``max_iters`` rounds the function RAISES —
-    25 rounds is ample headroom for O(log n) convergence (validated on
-    path/star/barbell topologies in tests/test_properties.py), and a
+    stabilized within ``max_iters`` rounds the function RAISES — a
     partially contracted edge set can label members of one component
     inconsistently, so failing loudly beats returning silently wrong
-    labels.
+    labels. The default of 50 is sized for PRODUCTION node counts,
+    not the test corpora: the observed bound is ~ceil(log2 n)+2
+    rounds (validated on path/star/barbell topologies to n=10^4 in
+    tests/test_properties.py), so n≈10^12 — the 100 TB regime — needs
+    ~42 rounds and 50 leaves headroom; callers with a tighter latency
+    budget can pass a smaller cap explicitly.
 
     Returns (node, component) — identical contract and values to
     ``connected_components_min_label``: component = min node id, one

@@ -16,6 +16,7 @@ from ..operators.dedup import (
     lsh_candidates,
     minhash_signatures,
     simhash,
+    star_edges,
     word_shingles,
 )
 from ..sources.tables import load_table
@@ -442,14 +443,20 @@ _COMPONENTS_CHAIN = _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks") + 
     doc="Dedup clustering: MinHash-LSH candidate pairs → connected "
     "components by large-star/small-star contraction (Kiveris et al. "
     "SoCC'14; operators/graph.py connected_components_star) — the "
-    "cluster resolution step that turns near-dup PAIRS into keep/drop "
-    "decisions (keep min-id per component). Star contraction rewrites "
-    "the edge set toward component-min stars each round, so per-round "
-    "shuffle work SHRINKS as the graph contracts and rounds are "
-    "O(log n) — unlike min-label propagation, whose every round drags "
-    "the full (dense, near-quadratic) candidate edge list through a "
-    "shuffle for O(diameter) rounds. Oracle: recursive-CTE "
-    "reachability.",
+    "cluster resolution step that turns near-dup buckets into "
+    "keep/drop decisions (keep min-id per component). The CC input is "
+    "per-bucket STAR edges (operators/dedup.star_edges: bucket-min → "
+    "member, |bucket| edges), NOT the |bucket|²/2 candidate pairs — "
+    "bucket-sharing is the edge relation here, so a clique's pair "
+    "stream is pure redundancy to transitive closure and the star "
+    "form provably yields identical components while keeping the "
+    "edge object linear in corpus size. Star contraction then "
+    "rewrites the edge set toward component-min stars each round, so "
+    "per-round shuffle work SHRINKS as the graph contracts and "
+    "rounds are O(log n) — unlike min-label propagation, whose every "
+    "round drags the full edge list through a shuffle for "
+    "O(diameter) rounds. Oracle: recursive-CTE reachability over the "
+    "pair graph (same closure).",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_star
@@ -458,8 +465,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
-    pairs = lsh_candidates(bands, "doc_id").selectExpr("a_id AS src", "b_id AS dst")
-    return connected_components_star(pairs).select(
+    edges = star_edges(bands, ["band", "band_key"], "doc_id")
+    return connected_components_star(edges).select(
         "node", F.col("component").cast("long").alias("component")
     )
 
@@ -668,7 +675,9 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blindly the min id, which is how a curation pipeline actually "
     "retires near-duplicates. One extra hash-partitioned window over "
     "the cluster id and a broadcast-size join back; the component "
-    "step is large-star/small-star contraction "
+    "step runs on per-bucket STAR edges (operators/dedup.star_edges "
+    "— identical components, |bucket| not |bucket|²/2 edges) through "
+    "large-star/small-star contraction "
     "(operators/graph.py connected_components_star) — O(log n) "
     "rounds whose per-round work shrinks with the contracting edge "
     "set, replacing min-label propagation's O(diameter) full-edge-"
@@ -683,8 +692,8 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
-    pairs = lsh_candidates(bands, "doc_id").selectExpr("a_id AS src", "b_id AS dst")
-    comp = connected_components_star(pairs).select(
+    edges = star_edges(bands, ["band", "band_key"], "doc_id")
+    comp = connected_components_star(edges).select(
         F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
     )
     every = docs.join(comp, on="doc_id", how="left").select(
