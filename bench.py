@@ -214,8 +214,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
     total = round(sum(times.values()), 3)
-    shuffle_read = sum(b["shuffle_read_bytes"] for b in bytes_by_query.values())
-    shuffle_write = sum(b["shuffle_write_bytes"] for b in bytes_by_query.values())
+    # 'not measured' must stay distinguishable from 'zero bytes': when
+    # the status API was unavailable for every query (UI pinned off,
+    # or every _stage_totals probe failed) emit null, not 0.0 — the
+    # SCALE.md byte-ratio audits treat these totals as evidence.
+    if bytes_by_query:
+        shuffle_read_mb = round(
+            sum(b["shuffle_read_bytes"] for b in bytes_by_query.values()) / 1e6, 1
+        )
+        shuffle_write_mb = round(
+            sum(b["shuffle_write_bytes"] for b in bytes_by_query.values()) / 1e6, 1
+        )
+    else:
+        shuffle_read_mb = shuffle_write_mb = None
 
     detail = {
         "metric": "headline_queries_total",
@@ -252,8 +263,8 @@ def main() -> None:
         "median_total_sec": detail["median_total_sec"],
         "cold_total_sec": detail["cold_total_sec"],
         "errors_n": len(errors),
-        "shuffle_read_mb": round(shuffle_read / 1e6, 1),
-        "shuffle_write_mb": round(shuffle_write / 1e6, 1),
+        "shuffle_read_mb": shuffle_read_mb,
+        "shuffle_write_mb": shuffle_write_mb,
         "loadavg_1m": detail["loadavg_1m"],
         "artifact": str(artifact.relative_to(artifact_dir.parent)),
     }

@@ -166,6 +166,47 @@ def test_ingest_increment_end_to_end(spark, sf_dir, tmp_path):
     }
 
 
+def test_ingest_params_persisted_with_state(spark, sf_dir, tmp_path):
+    """The LSH parameterization is a property of the STATE STORE:
+    build_state persists it, probe_batch/apply_transitions read it
+    back, and a later ingest_increment call passing DIFFERENT params
+    must be overruled by the store's own (probing a store with
+    mismatched bands would silently find nothing)."""
+    from welearn_datastack_spark.pipeline.ingest_increment import (
+        LshParams,
+        build_state,
+        ingest_increment,
+        load_params,
+        probe_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_pred = F.col("doc_id") % 5 == 0
+    state = str(tmp_path / "state")
+    custom = LshParams(shingle_n=2, n_hashes=12, rows_per_band=3)
+    assert custom.n_bands == 4 and abs(custom.s50 - 0.25 ** (1 / 3)) < 1e-9
+    build_state(docs.filter(~batch_pred), state, params=custom)
+    assert load_params(state) == custom
+
+    # the probe picks the persisted params up: its band leg must use
+    # 12 hashes (seed sequence 0..11 appears in the analyzed plan)
+    probe = probe_batch(spark, docs.filter(batch_pred), state)
+    plan = probe._jdf.queryExecution().analyzed().toString()
+    assert "sequence(0, 11" in plan, plan[:3000]
+
+    # a composed call against the EXISTING store with conflicting
+    # params: the store's persisted parameterization wins
+    ingest_increment(
+        spark, docs, state, batch_mod=5, params=LshParams(n_hashes=4)
+    )
+    assert load_params(state) == custom
+
+    # the store stays self-consistent: re-probing the same batch after
+    # its admission flags every former-new doc as its own exact dup
+    reprobe = probe_batch(spark, docs.filter(batch_pred), state)
+    assert reprobe.filter(F.col("state") == "new").count() == 0
+
+
 def test_stream_ingest_probe_exactly_once(spark, sf_dir, tmp_path):
     """The streaming drop-folder ingest: two arrivals processed by two
     checkpointed availableNow invocations, then a third invocation

@@ -104,16 +104,30 @@ def _ingest_increment(args: argparse.Namespace) -> None:
     + LSH band probes — the corpus is never re-shingled), write the
     per-document decisions, and append the admitted documents' state.
     Run it twice against the same --state to see the idempotent shape:
-    the second run's batch is all exact_dup."""
-    from .pipeline.ingest_increment import ingest_increment
+    the second run's batch is all exact_dup.
+
+    The LSH knobs (--shingle-n/--n-hashes/--rows-per-band) apply to a
+    FIRST build only; an existing store's persisted lsh_params.json
+    always wins, so probes can never mismatch the stored bands. See
+    pipeline.ingest_increment.LshParams for the candidate s-curve the
+    knobs trace (defaults: 4 bands x 2 rows -> s50 = 0.5 Jaccard)."""
+    from .pipeline.ingest_increment import LshParams, ingest_increment, load_params
     from .session import get_spark
     from .sources.tables import load_table
 
     spark = get_spark("welearn-ingest-increment")
     docs = load_table(spark, args.sf_dir, "documents")
-    decisions = ingest_increment(
-        spark, docs, args.state, out_dir=args.out, batch_mod=args.batch_mod
+    params = LshParams(
+        shingle_n=args.shingle_n,
+        n_hashes=args.n_hashes,
+        rows_per_band=args.rows_per_band,
     )
+    decisions = ingest_increment(
+        spark, docs, args.state, out_dir=args.out, batch_mod=args.batch_mod,
+        params=params,
+    )
+    eff = load_params(args.state)
+    print(f"lsh params in effect: {eff} (s50={eff.s50:.3f})")
     counts = {r["state"]: r["n"] for r in
               decisions.groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()}
     print(f"ingest-increment complete: {counts} -> {args.out}")
@@ -175,6 +189,12 @@ def main(argv: list[str] | None = None) -> None:
     ii.add_argument("--state", required=True, help="dedup state store directory")
     ii.add_argument("--out", required=True, help="per-document decisions parquet")
     ii.add_argument("--batch-mod", type=int, default=5)
+    ii.add_argument("--shingle-n", type=int, default=3,
+                    help="word-shingle width (first build only)")
+    ii.add_argument("--n-hashes", type=int, default=8,
+                    help="minhash signature length (first build only)")
+    ii.add_argument("--rows-per-band", type=int, default=2,
+                    help="LSH rows per band; bands = n_hashes/rows (first build only)")
     ii.set_defaults(fn=_ingest_increment)
 
     k = sub.add_parser("compact", help="bin-pack a fragmented parquet directory in place")

@@ -25,7 +25,9 @@ schedule (operators/compaction.py).
 
 from __future__ import annotations
 
+import json
 import os
+from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,11 +40,58 @@ from ..operators.dedup import (
     word_shingles,
 )
 
-# one pipeline, one parameterization — shared by the state build and
-# the batch probe so persisted bands always match probe bands
-_SHINGLE_N = 3
-_N_HASHES = 8
-_ROWS_PER_BAND = 2
+
+@dataclass(frozen=True)
+class LshParams:
+    """The ingest pipeline's LSH parameterization — a PROPERTY OF THE
+    STATE STORE, not of any one job invocation: persisted bands are
+    only probe-able by bands built with the same (shingle_n, n_hashes,
+    rows_per_band), so :func:`build_state` writes these to
+    ``state_dir/lsh_params.json`` and :func:`probe_batch` reads them
+    back, making a mismatched probe structurally impossible.
+
+    What the knobs mean (the banding s-curve): with b = n_hashes /
+    rows_per_band bands of r = rows_per_band rows, a pair with
+    Jaccard similarity s becomes a candidate with probability
+    1 − (1 − s^r)^b — a sigmoid whose 50% threshold sits near
+    s50 ≈ (1/b)^(1/r). The defaults (n_hashes=8, r=2 → b=4) give
+    s50 = 0.5: pairs more than half-similar usually collide, pairs
+    much below rarely do. Raising n_hashes at fixed r adds bands →
+    lowers the threshold (more recall, more candidates); raising r at
+    fixed b sharpens the sigmoid (fewer false candidates, harder
+    cutoff). Per-batch cost is linear in n_hashes (signature rows =
+    |batch|·n_hashes) and state size is |corpus|·b band rows."""
+
+    shingle_n: int = 3
+    n_hashes: int = 8
+    rows_per_band: int = 2
+
+    @property
+    def n_bands(self) -> int:
+        return self.n_hashes // self.rows_per_band
+
+    @property
+    def s50(self) -> float:
+        """Approximate Jaccard similarity at 50% candidate probability."""
+        return (1.0 / self.n_bands) ** (1.0 / self.rows_per_band)
+
+
+_DEFAULT_PARAMS = LshParams()
+
+
+def _params_path(state_dir: str) -> str:
+    return f"{state_dir}/lsh_params.json"
+
+
+def load_params(state_dir: str) -> LshParams:
+    """The state store's own parameterization; defaults for stores
+    written before the params file existed (they were all built at
+    the defaults)."""
+    try:
+        with open(_params_path(state_dir)) as f:
+            return LshParams(**json.load(f))
+    except FileNotFoundError:
+        return _DEFAULT_PARAMS
 
 
 def content_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -53,23 +102,40 @@ def content_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def band_keys(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def band_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params: LshParams = _DEFAULT_PARAMS,
+) -> DataFrame:
     """(doc_id, band, band_key) — the standard minhash/LSH band
-    pipeline at the pipeline's fixed parameterization."""
-    sh = word_shingles(docs, id_col, text_col, n=_SHINGLE_N)
-    sigs = minhash_signatures(sh, id_col, n_hashes=_N_HASHES)
-    return lsh_band_keys(sigs, id_col, rows_per_band=_ROWS_PER_BAND)
+    pipeline at the given parameterization (see :class:`LshParams`
+    for the collision s-curve the knobs trace)."""
+    sh = word_shingles(docs, id_col, text_col, n=params.shingle_n)
+    sigs = minhash_signatures(sh, id_col, n_hashes=params.n_hashes)
+    return lsh_band_keys(sigs, id_col, rows_per_band=params.rows_per_band)
 
 
-def build_state(docs: DataFrame, state_dir: str) -> None:
+def build_state(
+    docs: DataFrame, state_dir: str, params: LshParams = _DEFAULT_PARAMS
+) -> None:
     """Materialize the persisted dedup state for a stored corpus:
-    ``state_dir/doc_hashes`` and ``state_dir/band_store`` parquet."""
+    ``state_dir/doc_hashes`` and ``state_dir/band_store`` parquet,
+    plus ``lsh_params.json`` recording the parameterization so every
+    later probe/transition rebuilds bands identically."""
     content_hashes(docs).write.mode("overwrite").parquet(f"{state_dir}/doc_hashes")
-    band_keys(docs).write.mode("overwrite").parquet(f"{state_dir}/band_store")
+    band_keys(docs, params=params).write.mode("overwrite").parquet(
+        f"{state_dir}/band_store"
+    )
+    with open(_params_path(state_dir), "w") as f:
+        json.dump(asdict(params), f)
 
 
 def build_state_bucketed(
-    docs: DataFrame, table_prefix: str, n_buckets: int = 8
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 8,
+    params: LshParams = _DEFAULT_PARAMS,
 ) -> None:
     """The production layout for the state store: BUCKETED tables
     (``{prefix}_doc_hashes`` by content_hash, ``{prefix}_band_store``
@@ -92,7 +158,7 @@ def build_state_bucketed(
     )
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_band_store")
     (
-        band_keys(docs)
+        band_keys(docs, params=params)
         .write.format("parquet")
         .bucketBy(n_buckets, "band", "band_key")
         .sortBy("band", "band_key")
@@ -115,25 +181,34 @@ def probe_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> DataFr
       - otherwise state 'new'."""
     stored_hashes = spark.read.parquet(f"{state_dir}/doc_hashes")
     stored_bands = spark.read.parquet(f"{state_dir}/band_store")
-    return _probe(batch, stored_hashes, stored_bands)
+    return _probe(batch, stored_hashes, stored_bands, load_params(state_dir))
 
 
 def probe_batch_bucketed(
-    spark: SparkSession, batch: DataFrame, table_prefix: str
+    spark: SparkSession,
+    batch: DataFrame,
+    table_prefix: str,
+    params: LshParams = _DEFAULT_PARAMS,
 ) -> DataFrame:
     """:func:`probe_batch` against the bucketed-table state layout
     (:func:`build_state_bucketed`): identical decisions, but the
     corpus-side scans report HashPartitioning from the bucket spec so
-    neither probe join shuffles stored data."""
+    neither probe join shuffles stored data. ``params`` must match the
+    build (metastore tables have no params sidecar — the caller owns
+    consistency here; the path-based store self-describes)."""
     return _probe(
         batch,
         spark.table(f"{table_prefix}_doc_hashes"),
         spark.table(f"{table_prefix}_band_store"),
+        params,
     )
 
 
 def _probe(
-    batch: DataFrame, stored_hashes: DataFrame, stored_bands: DataFrame
+    batch: DataFrame,
+    stored_hashes: DataFrame,
+    stored_bands: DataFrame,
+    params: LshParams = _DEFAULT_PARAMS,
 ) -> DataFrame:
     exact = (
         content_hashes(batch)
@@ -147,7 +222,7 @@ def _probe(
         .agg(F.min("s_id").alias("exact_dup_of"))
     )
     near = (
-        incremental_lsh_candidates(stored_bands, band_keys(batch), "doc_id")
+        incremental_lsh_candidates(stored_bands, band_keys(batch, params=params), "doc_id")
         .groupBy(F.col("new_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_near_candidates"))
     )
@@ -182,8 +257,11 @@ def apply_transitions(
     # decisions derive from a lazy probe over the files being appended
     # to — pin them before the writes (bounded: |batch| rows of ids)
     admitted = admitted.localCheckpoint(eager=True)
+    params = load_params(state_dir)
     content_hashes(admitted).write.mode("append").parquet(f"{state_dir}/doc_hashes")
-    band_keys(admitted).write.mode("append").parquet(f"{state_dir}/band_store")
+    band_keys(admitted, params=params).write.mode("append").parquet(
+        f"{state_dir}/band_store"
+    )
     return admitted.count()
 
 
@@ -193,18 +271,31 @@ def ingest_increment(
     state_dir: str,
     out_dir: str | None = None,
     batch_mod: int = 5,
+    params: LshParams = _DEFAULT_PARAMS,
 ) -> DataFrame:
     """The composed job: mod-split ``docs`` into stored corpus and
     incoming batch, build the state store on first run (missing
     ``state_dir``), probe the batch, apply state transitions, and
     (optionally) write the per-document decisions. Returns the
-    decisions DataFrame (lazy read of ``out_dir`` when written)."""
+    decisions DataFrame (lazy read of ``out_dir`` when written).
+
+    ``params`` applies only to a FIRST build; an existing store's
+    persisted parameterization always wins (probing with different
+    bands than the store holds would silently find nothing)."""
     batch_pred = F.col("doc_id") % batch_mod == 0
     if not os.path.exists(f"{state_dir}/band_store"):
-        build_state(docs.filter(~batch_pred), state_dir)
+        build_state(docs.filter(~batch_pred), state_dir, params=params)
     decisions = probe_batch(spark, docs.filter(batch_pred), state_dir)
     if out_dir is not None:
         decisions.write.mode("overwrite").parquet(out_dir)
         decisions = spark.read.parquet(out_dir)
+    else:
+        # the lazy decisions frame reads the very state files
+        # apply_transitions is about to append to — a relation refresh
+        # or recompute after the append would flip every admitted doc
+        # to exact_dup of itself. Pin the bounded (|batch|-row) result
+        # BEFORE the writes, the same convention as apply_transitions'
+        # own admitted pin and the streaming probe.
+        decisions = decisions.localCheckpoint(eager=True)
     apply_transitions(spark, docs.filter(batch_pred), decisions, state_dir)
     return decisions

@@ -828,18 +828,35 @@ def _gate_scratch(name: str, sf_dir: str) -> str:
     bench/test runs over the same sf_dir must never rmtree each
     other's live lazy-read files mid-run, and a world-shared fixed
     path under the global tempdir would also be a pre-creation/
-    symlink hazard on shared hosts."""
+    symlink hazard on shared hosts. Disk hygiene: the per-pid root is
+    atexit-removed (nothing in it outlives the owning SparkSession),
+    and each call opportunistically sweeps sibling roots whose owner
+    process is gone — state stores and stream sinks in here reach GB
+    scale at sf3, so orphans from killed runs must not accumulate."""
+    import atexit
+    import glob
     import hashlib
     import os
     import shutil
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"welearn_gate_scratch_{os.getpid()}",
-        f"{name}_{key}",
+    root = os.path.join(
+        tempfile.gettempdir(), f"welearn_gate_scratch_{os.getpid()}"
     )
+    if not os.path.exists(root):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    for other in glob.glob(
+        os.path.join(tempfile.gettempdir(), "welearn_gate_scratch_*")
+    ):
+        try:
+            pid = int(other.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(other, ignore_errors=True)
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(root, f"{name}_{key}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     return path

@@ -277,15 +277,29 @@ def stream_ingest_probe(
     ``pipeline/ingest_increment``: document files ARRIVE in
     ``docs_path``; each micro-batch is probed against the persisted
     dedup state (content-hash + LSH band stores — batch-native joins
-    inside ``foreachBatch``), the per-document decisions APPEND to
-    ``out_dir``, and admitted NEW documents transition the state so
-    later micro-batches see them as duplicates. The checkpoint makes
-    ingestion restart-driven: invoking the stream again after new
-    files land processes ONLY the new files (consumed files are
-    remembered exactly-once), which is how a production drop-folder
-    ingest runs on a cadence. Decisions are written BEFORE the state
-    transition, so each document's decision reflects the state at its
-    own arrival — replaying the log reproduces the admission history.
+    inside ``foreachBatch``), the per-document decisions land in
+    ``out_dir/batch_id=N``, and admitted NEW documents transition the
+    state so later micro-batches see them as duplicates. The
+    checkpoint makes ingestion restart-driven: invoking the stream
+    again after new files land processes ONLY the new files.
+
+    Delivery semantics, precisely: exactly-once applies to SOURCE
+    FILE TRACKING (the checkpoint never feeds a consumed file to a
+    second batch); the foreachBatch body itself is at-least-once, so
+    both side effects are built to converge under replay. The
+    decision write is idempotent per batch — a deterministic
+    ``batch_id=N`` directory overwrite, so a crash between the write
+    and the checkpoint commit re-writes the same directory instead of
+    appending duplicate rows. The state transition is self-healing:
+    a replayed batch whose admissions already committed re-probes as
+    exact_dup (of itself, now in state), so apply_transitions admits
+    nothing twice and the state store never double-appends. The one
+    replay-visible artifact is that such a batch's re-written
+    decisions record exact_dup-of-self instead of the original 'new'
+    — the admission is still attributable (exact_dup_of points at the
+    admitted row), and state remains exactly correct. Decisions are
+    written BEFORE the state transition, so in the no-failure path
+    each document's decision reflects the state at its own arrival.
 
     At 100 TB the state store is the bucketed-table layout
     (``pipeline/ingest_increment.build_state_bucketed``): the probe
@@ -295,7 +309,7 @@ def stream_ingest_probe(
 
     schema = spark.read.parquet(docs_path).schema
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         # pin the decisions before the writes: they derive from a lazy
@@ -303,7 +317,10 @@ def stream_ingest_probe(
         decisions = probe_batch(spark, batch_df, state_dir).localCheckpoint(
             eager=True
         )
-        decisions.write.mode("append").parquet(out_dir)
+        # per-batch overwrite, not append: foreachBatch replays on
+        # crash-restart, and the deterministic directory makes the
+        # decision log idempotent under replay (see docstring)
+        decisions.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         apply_transitions(spark, batch_df, decisions, state_dir)
 
     q = (
