@@ -115,6 +115,8 @@ HEADLINE = [
     "shard_export_assignment",
     "ingest_increment_pipeline",
     "stream_ingest_probe",
+    "ingest_state_maintenance",
+    "dedup_clusters",
     "hal_extraction_roundtrip",
     "open_alex_extraction_roundtrip",
     "ted_extraction_roundtrip",

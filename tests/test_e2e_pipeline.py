@@ -270,3 +270,71 @@ def test_stream_ingest_probe_exactly_once(spark, sf_dir, tmp_path):
     # consumed files — nothing is re-decided, the log does not grow
     stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
     assert spark.read.parquet(f"{work}/out").count() == out.count()
+
+
+def test_state_maintenance_cycle_equivalence(spark, sf_dir, tmp_path):
+    """The full maintenance cycle: ingest appends fragments -> compact
+    folds them -> fold_state_bucketed rewrites into bucketed tables.
+    Decisions must be IDENTICAL at every layout stage, the fold must
+    actually shrink the file count, and the bucketed re-fold must
+    probe the corpus side with zero corpus Exchange — the same
+    discipline snapshot_tail_read proved for the state log, applied
+    to the dedup state store."""
+    from welearn_datastack_spark.pipeline.ingest_increment import (
+        apply_transitions,
+        build_state,
+        compact_state,
+        fold_state_bucketed,
+        load_params,
+        probe_batch,
+        probe_batch_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    state = str(tmp_path / "state")
+    build_state(docs.filter(m.isin(1, 2, 3)), state)
+
+    batch_a = docs.filter(m == 4)
+    dec_a = probe_batch(spark, batch_a, state).localCheckpoint(eager=True)
+    apply_transitions(spark, batch_a, dec_a, state)
+
+    key = lambda r: (r["doc_id"], r["exact_dup_of"], r["n_near_candidates"], r["state"])
+    batch_b = docs.filter(m == 0)
+    before = sorted(map(key, probe_batch(spark, batch_b, state).collect()))
+
+    import glob
+
+    n_before = len(glob.glob(f"{state}/band_store/part-*.parquet"))
+    compact_state(spark, state)
+    n_after = len(glob.glob(f"{state}/band_store/part-*.parquet"))
+    assert n_after < n_before, (n_before, n_after)
+    # the params sidecar survives the fold
+    assert load_params(state).n_hashes == 8
+
+    after = sorted(map(key, probe_batch(spark, batch_b, state).collect()))
+    assert after == before
+
+    # bucketed re-fold from the PERSISTED state (no recompute) probes
+    # shuffle-free on the corpus side and decides identically
+    fold_state_bucketed(spark, state, "maint_fold_test", n_buckets=8)
+    try:
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bucketed = probe_batch_bucketed(spark, batch_b, "maint_fold_test")
+            plan = bucketed._jdf.queryExecution().executedPlan().toString()
+            path_x = probe_batch(spark, batch_b, state)
+            path_plan = path_x._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        assert "SelectedBucketsCount" in plan
+        # the two stored-side exchanges disappear relative to the path store
+        assert (
+            plan.count("Exchange hashpartitioning")
+            == path_plan.count("Exchange hashpartitioning") - 2
+        )
+        assert sorted(map(key, bucketed.collect())) == before
+    finally:
+        spark.sql("DROP TABLE IF EXISTS maint_fold_test_doc_hashes")
+        spark.sql("DROP TABLE IF EXISTS maint_fold_test_band_store")

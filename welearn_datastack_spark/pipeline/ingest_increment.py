@@ -299,3 +299,68 @@ def ingest_increment(
         decisions = decisions.localCheckpoint(eager=True)
     apply_transitions(spark, docs.filter(batch_pred), decisions, state_dir)
     return decisions
+
+
+def compact_state(
+    spark: SparkSession, state_dir: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """The MAINTENANCE verb for the ingest state store: under
+    continuous ingest, every admitted batch appends a handful of
+    small files to ``doc_hashes``/``band_store`` (in the batch's
+    arriving partitioning), so the store degrades into
+    snapshot+fragments — after months the probe scan is dominated by
+    file-open overhead. Bin-pack both legs in place
+    (operators/compaction.compact), sorting within files by the probe
+    key (content_hash; band, band_key) so parquet min/max row-group
+    stats stay selective after the fold. Content is preserved
+    row-for-row, so probe decisions are IDENTICAL pre/post — gated by
+    the ingest_state_maintenance query and
+    tests/test_e2e_pipeline.py. The params sidecar is untouched."""
+    from ..operators.compaction import compact
+
+    return {
+        "doc_hashes": compact(
+            spark,
+            f"{state_dir}/doc_hashes",
+            target_file_bytes,
+            [F.col("content_hash")],
+        ),
+        "band_store": compact(
+            spark,
+            f"{state_dir}/band_store",
+            target_file_bytes,
+            [F.col("band"), F.col("band_key")],
+        ),
+    }
+
+
+def fold_state_bucketed(
+    spark: SparkSession, state_dir: str, table_prefix: str, n_buckets: int = 8
+) -> None:
+    """Fold the path-based state store into the bucketed-table layout
+    WITHOUT recomputing — a pure shuffle-on-key rewrite of the
+    persisted hashes/bands (the corpus is never re-shingled). This is
+    the scale maintenance cycle: ingest appends fragments to the path
+    store; on the maintenance schedule the fragments fold into the
+    bucketed snapshot, and subsequent probes
+    (:func:`probe_batch_bucketed`) read the corpus side with ZERO
+    Exchange. Decisions are identical across the fold (same rows,
+    different layout)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_doc_hashes")
+    (
+        spark.read.parquet(f"{state_dir}/doc_hashes")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "content_hash")
+        .sortBy("content_hash")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_doc_hashes")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_band_store")
+    (
+        spark.read.parquet(f"{state_dir}/band_store")
+        .write.format("parquet")
+        .bucketBy(n_buckets, "band", "band_key")
+        .sortBy("band", "band_key")
+        .mode("overwrite")
+        .saveAsTable(f"{table_prefix}_band_store")
+    )

@@ -859,8 +859,15 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_ingest_probe",
+# Two-phase incremental-ingest oracle, shared by stream_ingest_probe
+# and ingest_state_maintenance: phase A (doc_id%5==4) probes the
+# corpus state (m∈{1,2,3}); between phases the admitted (state='new')
+# A docs join the state; phase B (m==0) probes corpus ∪ admitted-A.
+# Both queries produce dec_a ∪ dec_b — they differ only in WHICH
+# engine machinery runs between the phases (a checkpointed stream vs
+# a compaction maintenance cycle), which the oracle is blind to by
+# design: the decisions must be invariant to it.
+_TWO_PHASE_INGEST_ORACLE = (
     _SHINGLES_CTE
     + f"""
     , base AS (
@@ -937,7 +944,13 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN near_b n ON n.doc_id = i.doc_id
     )
     SELECT * FROM dec_a UNION ALL SELECT * FROM dec_b
-    """,
+    """
+)
+
+
+@register(
+    "stream_ingest_probe",
+    _TWO_PHASE_INGEST_ORACLE,
     doc="STREAMING incremental ingest (streaming/state_machine."
     "stream_ingest_probe): document files arrive in a drop folder; a "
     "checkpointed availableNow file stream probes each micro-batch "
@@ -990,3 +1003,63 @@ def stream_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{work}/out").select(
         "doc_id", "exact_dup_of", "n_near_candidates", "state"
     )
+
+
+@register(
+    "ingest_state_maintenance",
+    _TWO_PHASE_INGEST_ORACLE,
+    doc="Maintenance-cycle EQUIVALENCE for the ingest state store "
+    "(pipeline/ingest_increment.compact_state): continuous ingest "
+    "appends small state fragments after every admitted batch; the "
+    "maintenance compaction bin-packs doc_hashes/band_store in place "
+    "(sorted within files by the probe keys so row-group min/max "
+    "stats stay selective). The gate runs ingest A -> COMPACT -> "
+    "probe B, so phase B's decisions are computed against the FOLDED "
+    "store — hashing them against the same two-phase oracle as "
+    "stream_ingest_probe proves compaction is decision-invariant "
+    "(the snapshot_tail_read discipline, applied to the dedup "
+    "state). The adapter additionally asserts the fold actually "
+    "folded: band_store file count must DROP to the compaction "
+    "target, failing the gate loudly if appends stopped fragmenting "
+    "(which would mean the maintenance verb silently stopped doing "
+    "anything).",
+)
+def ingest_state_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..pipeline.ingest_increment import (
+        apply_transitions,
+        build_state,
+        compact_state,
+        probe_batch,
+    )
+    from .q_extra import _gate_scratch
+
+    work = _gate_scratch("ingest_maint", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    state = f"{work}/state"
+    build_state(docs.filter(m.isin(1, 2, 3)), state)
+
+    # phase A: ingest the %5==4 batch — admissions APPEND fragments
+    batch_a = docs.filter(m == 4)
+    dec_a = probe_batch(spark, batch_a, state).localCheckpoint(eager=True)
+    apply_transitions(spark, batch_a, dec_a, state)
+
+    def n_files() -> int:
+        return len(glob.glob(f"{state}/band_store/part-*.parquet"))
+
+    before = n_files()
+    stats = compact_state(spark, state)
+    after = n_files()
+    target = stats["band_store"]["target_files"]
+    if not (after <= target < before):
+        raise RuntimeError(
+            f"state compaction did not fold the band store: "
+            f"{before} files -> {after}, target {target}"
+        )
+
+    # phase B probes the COMPACTED store: decisions must equal what
+    # the fragmented store would have produced (the oracle's dec_b)
+    dec_b = probe_batch(spark, docs.filter(m == 0), state).localCheckpoint(eager=True)
+    return dec_a.unionByName(dec_b)
