@@ -1,0 +1,122 @@
+"""Driver-side materialization is allowlisted, not reviewed.
+
+Every `.collect()` / `.first()` / `.toPandas()` in the package is a
+potential 100 TB failure (an unbounded frame pulled onto the driver),
+so each site must be individually justified and BOUNDED — by a
+structural guard, a k-row aggregate, or a LIMIT. This lint pins the
+exact per-file census: adding a new collect anywhere fails CI until
+the author bounds it and extends the allowlist with a justification,
+instead of slipping through review.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "welearn_datastack_spark"
+
+_PAT = re.compile(r"\.(collect|first|toPandas|toLocalIterator)\(\)")
+
+# file (relative to the package) -> (allowed site count, why each is bounded)
+ALLOWED = {
+    "jobs.py": (1, "final CLI report: per-state counts, <= 3 rows"),
+    "operators/compaction.py": (
+        2,
+        "per-file listing agg of the compacted dir (file count, not rows) + "
+        "1-row snapshot watermark max",
+    ),
+    "operators/graph.py": (
+        1,
+        "1-row (count, xor-hash) edge-set convergence checksum per round",
+    ),
+    "operators/relational.py": (
+        1,
+        "bloom bitmap: fixed 1024-word aggregate regardless of input rows",
+    ),
+    "operators/similarity.py": (
+        3,
+        "blas_topk query side (hard-capped by BLAS_MAX_QUERY_ROWS via "
+        "limit+raise) + k-row centroid seeds + k x dim Lloyd partials "
+        "(k bounded by stride_centroid_params)",
+    ),
+    "plans/oracle_check.py": (
+        1,
+        "the DuckDB comparator itself materializes both sides at check SF "
+        "by design — test harness, not a query plan",
+    ),
+    "plans/q_extra.py": (
+        2,
+        "bounded streamed-window pin (closed windows of a toy-SF gate "
+        "stream) + 1-row min/max ts bounds for gap-fill range generation",
+    ),
+    "plans/q_ml.py": (
+        2,
+        "k-row centroid seed fetches for kmeans/ivf builds (k is a literal)",
+    ),
+    "sources/collectors.py": (
+        1,
+        "wholetext read of ONE feed/sitemap document for driver-side XML "
+        "parse — a single fetched file, never a table",
+    ),
+}
+
+
+def _census() -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for f in sorted(PKG.rglob("*.py")):
+        n = 0
+        for line in f.read_text().splitlines():
+            if "collect_list" in line or "collect_set" in line:
+                continue
+            if _PAT.search(line):
+                n += 1
+        if n:
+            counts[str(f.relative_to(PKG))] = n
+    return counts
+
+
+def test_collect_sites_are_allowlisted():
+    census = _census()
+    unlisted = {f: n for f, n in census.items() if f not in ALLOWED}
+    assert not unlisted, (
+        f"driver-side collects in files with no allowlist entry: {unlisted} — "
+        "bound the frame (guard/limit/k-row agg) and add a justified entry"
+    )
+    grown = {
+        f: (n, ALLOWED[f][0]) for f, n in census.items() if n > ALLOWED[f][0]
+    }
+    assert not grown, (
+        f"collect-site count grew past the allowlist (got, allowed): {grown} — "
+        "every new site needs its own boundedness justification"
+    )
+
+
+def test_allowlist_has_no_stale_entries():
+    census = _census()
+    stale = [f for f in ALLOWED if f not in census]
+    assert not stale, f"allowlist entries with no remaining collect site: {stale}"
+
+
+def test_blas_topk_query_guard_raises(spark):
+    """The similarity allowlist entry's claim, executed: blas_topk
+    must refuse an over-ceiling query side instead of collecting it."""
+    import pytest
+
+    from welearn_datastack_spark.operators import similarity as S
+
+    saved = S.BLAS_MAX_QUERY_ROWS
+    S.BLAS_MAX_QUERY_ROWS = 5
+    try:
+        q = spark.range(6).selectExpr(
+            "id AS q_id", "array(cast(id as float), 1.0F) AS embedding"
+        )
+        c = spark.range(3).selectExpr(
+            "id AS c_id", "array(cast(id as float), 1.0F) AS embedding"
+        )
+        with pytest.raises(ValueError, match="query side exceeds 5 rows"):
+            S.blas_topk(q, c, k=2)
+        # at the ceiling it still works
+        assert S.blas_topk(q.limit(5), c, k=2).count() == 10
+    finally:
+        S.BLAS_MAX_QUERY_ROWS = saved

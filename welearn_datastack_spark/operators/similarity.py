@@ -317,6 +317,13 @@ def sq8_dequantize(vec: Column) -> Column:
     )
 
 
+# Ceiling for blas_topk's driver-side query collect: 64k rows of a
+# 384-dim float64 matrix is ~200 MB shipped to every task — already
+# generous; anything larger is an unbounded table in the wrong
+# operator, not a big query batch.
+BLAS_MAX_QUERY_ROWS = 65_536
+
+
 def blas_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -346,8 +353,25 @@ def blas_topk(
 
     schema = f"{q_id} long, {c_id} long, cosine double"
     # null query embeddings can't score — drop them up front (the JVM
-    # kernel's null cosine ranks last and never survives top-k)
-    q_rows = queries.filter(F.col(vec_col).isNotNull()).select(q_id, vec_col).collect()
+    # kernel's null cosine ranks last and never survives top-k).
+    # STRUCTURAL GUARD on the collect: |Q| is the small side by
+    # construction, but nothing upstream enforces it — limit the fetch
+    # to the ceiling + 1 and fail loudly past it, instead of silently
+    # pulling an unbounded query table onto the driver and shipping it
+    # to every task (the blas twin of state_log._bounded_row_guard).
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(q_id, vec_col)
+        .limit(BLAS_MAX_QUERY_ROWS + 1)
+        .collect()
+    )
+    if len(q_rows) > BLAS_MAX_QUERY_ROWS:
+        raise ValueError(
+            f"blas_topk: query side exceeds {BLAS_MAX_QUERY_ROWS} rows — it is "
+            "collected to the driver and shipped to every task, so an unbounded "
+            "query table must use a distributed path (brute_force_topk or the "
+            "bucketed ANN family) instead"
+        )
     if not q_rows:
         # 0 queries → 0 result rows; np.array([]) would be 1-D and
         # crash norm(axis=1), so return the empty frame directly
