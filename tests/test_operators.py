@@ -383,3 +383,97 @@ def test_bounded_input_guard_rejects_large_frames(spark):
             big, order_by=[F.asc("id")], threshold=50, max_buckets=1000,
             bounded_input=True, max_bounded_rows=100,
         ).collect()
+
+
+def _per_task_output_rows(pairs):
+    """Exact pair-output rows per join task: chunked_self_pairs /
+    simhash_near_pairs end in a select over the pinned chunk-pair
+    join with no further exchange, so spark_partition_id() on the
+    result IS the generating task."""
+    from pyspark.sql import functions as F
+
+    return [
+        r["n"]
+        for r in pairs.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+
+
+def test_chunk_subsplit_bounds_hot_bucket_task_width(spark):
+    """The ~chunk_target² per-task bound, DEMONSTRATED on a
+    boilerplate-heavy corpus instead of asserted by construction: one
+    mega-bucket of 2000 members (a 2M-pair clique). With the sub-split
+    no task may emit more than c·chunk_target² pairs (c covers the
+    expected chunk-pairs-per-task packing); the no-split control
+    exceeds that bound by an order of magnitude because the whole
+    clique's pairs erupt from single tasks."""
+    from welearn_datastack_spark.operators.dedup import chunked_self_pairs
+
+    n, chunk_target = 2000, 100
+    df = spark.range(n).selectExpr(
+        "CAST(0 AS INT) AS bucket", "id AS doc_id", "id % 7 AS payload"
+    )
+    split = chunked_self_pairs(
+        df, ["bucket"], "doc_id", ["payload"], chunk_target=chunk_target
+    )
+    widths = _per_task_output_rows(split)
+    total = sum(widths)
+    assert total == n * (n - 1) // 2  # every unordered pair exactly once
+    par = spark.sparkContext.defaultParallelism
+    import math
+
+    s = math.ceil(n / chunk_target)
+    n_chunk_pairs = s * (s + 1) // 2
+    # expected chunk pairs per task with headroom for hash packing;
+    # each chunk pair emits <= ~(n/s)² ~ chunk_target² pairs
+    c = 3 * math.ceil(n_chunk_pairs / par)
+    bound = c * chunk_target * chunk_target
+    assert max(widths) <= bound, (max(widths), bound)
+
+    # no-split control: chunk_target >= bucket size -> s=1, the whole
+    # clique's pair generation lands on single tasks and blows the
+    # same bound
+    control = chunked_self_pairs(
+        df, ["bucket"], "doc_id", ["payload"], chunk_target=n
+    )
+    ctrl_widths = _per_task_output_rows(control)
+    assert sum(ctrl_widths) == total
+    assert max(ctrl_widths) > bound, (max(ctrl_widths), bound)
+
+
+def test_simhash_subsplit_bounds_boilerplate_corpus(spark):
+    """Same empiricism for simhash_near_pairs: 1200 documents with an
+    IDENTICAL fingerprint (the boilerplate worst case — every band
+    bucket is the full corpus). Per-task surviving-pair output stays
+    within the packing bound; the no-split control concentrates the
+    whole clique in single tasks."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from welearn_datastack_spark.operators.dedup import simhash_near_pairs
+
+    n, chunk_target = 1200, 100
+    fp = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(12345).cast("long").alias("simhash")
+    )
+    pairs = simhash_near_pairs(
+        fp, "doc_id", bits=16, n_bands=4, max_hamming=3, chunk_target=chunk_target
+    )
+    widths = _per_task_output_rows(pairs)
+    assert sum(widths) == n * (n - 1) // 2  # hamming 0, first band emits all
+    par = spark.sparkContext.defaultParallelism
+    s = math.ceil(n / chunk_target)
+    # surviving pairs all come from band 0's s(s+1)/2 chunk pairs
+    c = 3 * math.ceil((s * (s + 1) // 2) / par)
+    bound = c * chunk_target * chunk_target
+    assert max(widths) <= bound, (max(widths), bound)
+
+    control = simhash_near_pairs(
+        fp, "doc_id", bits=16, n_bands=4, max_hamming=3, chunk_target=n
+    )
+    ctrl = _per_task_output_rows(control)
+    assert sum(ctrl) == n * (n - 1) // 2
+    assert max(ctrl) > bound, (max(ctrl), bound)
