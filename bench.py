@@ -180,6 +180,14 @@ def main() -> None:
     # >=1 warm) — used by the sf1/sf3 scale rehearsals where 5 runs
     # over a 10-30x corpus would burn most of the signal budget.
     n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    # SPARK_GRAFT_BENCH_QUERIES: comma-separated subset for targeted
+    # scale rehearsals (e.g. the sf10 heavy-linear family) — the
+    # artifact is then written as subset_sf{sf}.json so the canonical
+    # full-headline latest_sf{sf}.json series is never overwritten by
+    # a partial run.
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    subset = [q.strip() for q in subset_env.split(",") if q.strip()]
+    headline = subset or HEADLINE
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -187,7 +195,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     cold_total = 0.0
     load_before = os.getloadavg()[0]
-    for name in HEADLINE:
+    for name in headline:
         spec = REGISTRY.get(name)
         if spec is None:
             errors[name] = "not registered"
@@ -249,7 +257,8 @@ def main() -> None:
         detail["errors"] = errors
     artifact_dir = Path(__file__).resolve().parent / "bench_runs"
     artifact_dir.mkdir(exist_ok=True)
-    artifact = artifact_dir / f"latest_sf{sf}.json"
+    stem = "subset" if subset else "latest"
+    artifact = artifact_dir / f"{stem}_sf{sf}.json"
     artifact.write_text(json.dumps(detail, indent=1))
 
     # COMPACT final line — must stay well under the driver's ~2000-char
