@@ -508,3 +508,67 @@ def test_jaccard_baseline_row_budget(spark):
     assert 0 < n_sampled < _JACCARD_DOC_BUDGET * 2
     under, den_under = _sampled_baseline_docs(docs.limit(100))
     assert den_under == 1 and under.count() == 100
+
+
+# --- fan_out_for_compute: scan-layout-independent kernel parallelism ---
+
+
+def test_fan_out_engages_on_single_split_file(spark, tmp_path):
+    """A single small parquet file (one scan split) must fan out when
+    the byte-per-task target demands it — the toy-layout case where a
+    compute-dense kernel would otherwise run on one core."""
+    from welearn_datastack_spark.sources.tables import fan_out_for_compute
+
+    p = str(tmp_path / "one_file")
+    # high-entropy pad so compression can't shrink the file below the
+    # byte-per-task quanta the test relies on
+    spark.range(0, 10_000).selectExpr(
+        "id", "sha2(cast(id AS string), 256) AS pad"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 1
+    fanned = fan_out_for_compute(df, bytes_per_task=16 << 10)
+    got = fanned.rdd.getNumPartitions()
+    assert 1 < got <= spark.sparkContext.defaultParallelism
+    # pure redistribution: row content identical
+    assert fanned.count() == 10_000
+    assert (
+        fanned.agg({"id": "sum"}).collect()[0][0]
+        == df.agg({"id": "sum"}).collect()[0][0]
+    )
+
+
+def test_fan_out_noop_when_layout_already_parallel(spark, tmp_path):
+    """On an already-parallel layout (>= byte-derived target splits)
+    the guard must return the input UNCHANGED — the production-scale
+    contract: no extra exchange appears in the plan."""
+    from welearn_datastack_spark.sources.tables import fan_out_for_compute
+
+    p = str(tmp_path / "many_files")
+    spark.range(0, 10_000).repartition(8).write.parquet(p)
+    df = spark.read.parquet(p)
+    fanned = fan_out_for_compute(df, bytes_per_task=16 << 10)
+    assert fanned is df  # structural no-op, not even a new plan node
+
+
+def test_fan_out_noop_on_tiny_input(spark, sf_dir):
+    """At test SF every table is far below one byte-per-task quantum:
+    the guard is a no-op, so plan-shape pins at sf0.001 are untouched
+    by construction."""
+    from welearn_datastack_spark.sources.tables import (
+        fan_out_for_compute,
+        load_table,
+    )
+
+    df = load_table(spark, sf_dir, "embeddings")
+    assert fan_out_for_compute(df) is df
+
+
+def test_size_conf_parser():
+    from welearn_datastack_spark.sources.tables import _size_to_bytes
+
+    assert _size_to_bytes("134217728b") == 128 << 20
+    assert _size_to_bytes("128m") == 128 << 20
+    assert _size_to_bytes("1g") == 1 << 30
+    assert _size_to_bytes("64k") == 64 << 10
+    assert _size_to_bytes("weird") == 128 << 20

@@ -522,6 +522,13 @@ def kmeans_fixed(
         )
         .collect()
     ]
+    # seeds above collect straight off the scan (predicate pushdown);
+    # the Lloyd iterations below are compute-dense per-row folds, so
+    # the corpus must not inherit a single-split scan's parallelism
+    # (fan_out_for_compute is a no-op on already-parallel layouts)
+    from ..sources.tables import fan_out_for_compute
+
+    vectors = fan_out_for_compute(vectors)
     assign = None
     for it in range(n_iter):
         scores = baked_centroid_scores(

@@ -19,8 +19,18 @@ from ..operators.dedup import (
     star_edges,
     word_shingles,
 )
-from ..sources.tables import load_table
+from ..sources.tables import fan_out_for_compute, load_table
 from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, fanned out for the shingle/hash kernels
+    downstream: every query in this module does O(tokens)-per-row
+    work right after the scan, so a single-split toy layout must not
+    serialize that stage onto one core (fan_out_for_compute is a
+    structural no-op on an already-parallel layout — see
+    sources/tables.py)."""
+    return fan_out_for_compute(load_table(spark, sf_dir, "documents"))
 
 # DuckDB twin of operators/dedup.py:hexint — md5 first 15 hex chars → int63
 _HEXINT = (
@@ -57,7 +67,7 @@ WITH toks AS (
     "min-id row is canonical)",
 )
 def exact_dup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_dup_flags(docs, "doc_id", "text")
 
 
@@ -162,7 +172,7 @@ def _sampled_baseline_docs(docs: DataFrame) -> tuple[DataFrame, int]:
     "baseline can never accidentally dominate a corpus-scale run.",
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs, den = _sampled_baseline_docs(load_table(spark, sf_dir, "documents"))
+    docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
     sh = word_shingles(docs, "doc_id", "text", n=3)
     return jaccard_pairs(sh, "doc_id", threshold=0.15).withColumn(
         "sample_den", F.lit(den).cast("int")
@@ -184,7 +194,7 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the string variant (sample_den column).",
 )
 def ngram_jaccard_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs, den = _sampled_baseline_docs(load_table(spark, sf_dir, "documents"))
+    docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
     sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=3), "doc_id")
     return jaccard_pairs(sh, "doc_id", threshold=0.15).withColumn(
         "sample_den", F.lit(den).cast("int")
@@ -226,7 +236,7 @@ _MINHASH_LSH_ORACLE = (
     "candidate pairs — shingle→minhash→band→bucket-join",
 )
 def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
@@ -251,7 +261,7 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path in tests).",
 )
 def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = hashed_shingles(
         word_shingles(docs, "doc_id", "text", n=3), "doc_id", cross_engine=True
     )
@@ -299,7 +309,7 @@ def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import incremental_lsh_candidates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
 
     def bands_of(d: DataFrame) -> DataFrame:
         sh = word_shingles(d, "doc_id", "text", n=3)
@@ -370,7 +380,7 @@ def ingest_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.ingest_increment import build_state, probe_batch
     from .q_extra import _gate_scratch
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     state_dir = _gate_scratch("ingest_incr", sf_dir) + "/state"
     build_state(docs.filter(F.col("doc_id") % 5 != 0), state_dir)
     return probe_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), state_dir)
@@ -398,7 +408,7 @@ def ingest_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token-hash bits)",
 )
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash(docs, "doc_id", "text", bits=16)
 
 
@@ -461,7 +471,7 @@ _COMPONENTS_CHAIN = _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks") + 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_star
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
@@ -503,7 +513,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fp = simhash(docs, "doc_id", "text", bits=16)
     return simhash_near_pairs(fp, "doc_id", bits=16, n_bands=4, max_hamming=3)
 
@@ -577,7 +587,7 @@ def _span_fraction_rollup(sh: DataFrame) -> DataFrame:
     "sides: int-ratio halves round differently in binary vs decimal.",
 )
 def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return _span_fraction_rollup(word_shingles(docs, "doc_id", "text", n=8))
 
 
@@ -592,7 +602,7 @@ def duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string-keyed oracle (identical counts absent a 2^-64 collision).",
 )
 def duplicate_span_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=8), "doc_id")
     return _span_fraction_rollup(sh)
 
@@ -631,7 +641,7 @@ def duplicate_span_fraction_hashed(spark: SparkSession, sf_dir: str) -> DataFram
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = word_shingles(docs, "doc_id", "text", n=3)
     w = Window.partitionBy("shingle")
     return (
@@ -688,7 +698,7 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components_star
     from ..operators.topk import top_k_by
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
@@ -764,7 +774,7 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_removal_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import strip_shared_spans
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return strip_shared_spans(docs, "doc_id", "text", width=8)
 
 
@@ -790,7 +800,7 @@ from .registry import REGISTRY as _REG  # noqa: E402
 def span_removal_rewrite_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import strip_shared_spans
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return strip_shared_spans(docs, "doc_id", "text", width=8, hashed_keys=True)
 
 
@@ -840,7 +850,7 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     ch = cdc_chunks(docs, "doc_id", "text", window=4, divisor=16)
     # sharing via ONE window over the chunk-hash clustering instead of
     # an agg + join-back: same single shuffle key, but the chunk build
@@ -978,7 +988,7 @@ def stream_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_extra import _gate_scratch
 
     work = _gate_scratch("stream_ingest", sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     m = F.col("doc_id") % 5
     build_state(docs.filter(m.isin(1, 2, 3)), f"{work}/state")
     src = f"{work}/incoming"
@@ -1036,7 +1046,7 @@ def ingest_state_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_extra import _gate_scratch
 
     work = _gate_scratch("ingest_maint", sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     m = F.col("doc_id") % 5
     state = f"{work}/state"
     build_state(docs.filter(m.isin(1, 2, 3)), state)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out_for_compute, load_table
 from .registry import register
 
 
@@ -343,8 +343,13 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = tagged.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
     )
-    c = tagged.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
+    # plane projection + bucket-local cosine are compute-dense per
+    # row — don't inherit a single-split scan's parallelism (no-op on
+    # already-parallel layouts)
+    c = fan_out_for_compute(
+        tagged.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
+        )
     )
     # the PROBE side is bounded (|Q| query vectors) — broadcast it
     # explicitly: both sides derive from the same scan, so Catalyst

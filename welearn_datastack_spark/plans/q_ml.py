@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import brute_force_topk, cosine_pairs, grouped_topk
-from ..sources.tables import load_table
+from ..sources.tables import fan_out_for_compute, load_table
 from .registry import register
 
 # Shared DuckDB CTE: cosine between query set (vec_id < 10) and corpus
@@ -44,8 +44,13 @@ WITH qe AS (
 def _split(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
-    corpus = emb.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("c_id"), "embedding", "label"
+    # the corpus side feeds O(dim²)-per-row scoring kernels — its
+    # parallelism must not be hostage to the scan's split count
+    # (fan_out_for_compute is a no-op once the layout provides splits)
+    corpus = fan_out_for_compute(
+        emb.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("c_id"), "embedding", "label"
+        )
     )
     return queries, corpus
 
@@ -279,8 +284,10 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import baked_centroid_scores, l2_norm
 
     # project the row norm ONCE; each centroid's score then costs one
-    # dot fold instead of a dot plus two norm folds
-    base = emb.select(
+    # dot fold instead of a dot plus two norm folds. The baked-literal
+    # fold is compute-dense per row, so the corpus must not inherit a
+    # single-split scan's parallelism (no-op on parallel layouts)
+    base = fan_out_for_compute(emb).select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
     )
     scores = baked_centroid_scores(
@@ -468,10 +475,16 @@ def _lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     lq = tagged.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
     )
-    lc = tagged.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
+    # corpus side fans out for the bucket-local cosine kernel; the
+    # bounded |Q|-row probe side broadcasts explicitly (same
+    # misestimate fix as lsh_ann_topk — both sides derive from one
+    # scan, so Catalyst would size lq at corpus scale)
+    lc = fan_out_for_compute(
+        tagged.filter(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "bucket"
+        )
     )
-    lsh_pairs = lq.join(lc, on="bucket").select(
+    lsh_pairs = F.broadcast(lq).join(lc, on="bucket").select(
         "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
     )
     return top_k_by(lsh_pairs, ["q_id"], [F.desc("cosine"), F.asc("c_id")], k=3).select(
