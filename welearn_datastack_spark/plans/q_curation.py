@@ -13,8 +13,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import hexint, normalize_text, word_shingles
-from ..sources.tables import load_table
+from ..sources.tables import fan_out_for_compute, load_table
 from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table fanned out for the per-row text kernels in this
+    module (token/shingle/regex work dominates the scan stage);
+    fan_out_for_compute is a structural no-op on already-parallel
+    layouts — see sources/tables.py."""
+    return fan_out_for_compute(load_table(spark, sf_dir, "documents"))
 
 _TOKENS = r"\w+"
 
@@ -46,7 +54,7 @@ _TOKENS = r"\w+"
     "packing contract.",
 )
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         "lang",
@@ -97,7 +105,7 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus is the 100 TB side).",
 )
 def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = word_shingles(docs, "doc_id", "text", n=5)
     eval_sh = (
         sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
@@ -138,7 +146,7 @@ def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the dedup keep-set is a hash-group min, never a pairwise op.",
 )
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     norm = docs.select(
         "doc_id",
         normalize_text(F.col("text")).alias("nt"),
@@ -184,7 +192,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "`stratified_sample` (quotas → hash-bucket keep rates).",
 )
 def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
@@ -231,7 +239,7 @@ _HEXINT_SQL = (
     "shuffle.",
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     h = hexint(F.concat(F.lit("split:"), F.col("source"))) % 10
     return docs.select(
         "doc_id",
@@ -267,7 +275,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trainer needs from a 'shuffled' dataset.",
 )
 def shard_export_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     hv = hexint(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
     assigned = docs.select("doc_id", hv.alias("hv"), (hv % 16).cast("int").alias("shard"))
     w = Window.partitionBy("shard").orderBy("hv", "doc_id")

@@ -30,20 +30,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out_for_compute, load_table
 from .registry import register
-
-_CC_BY = "https://creativecommons.org/licenses/by/4.0/"
-_CC_BY_SA_IGO = "https://creativecommons.org/licenses/by-sa/3.0/igo/"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the testdata file is one row group (one split); spread the
-    # CPU-heavy per-row extraction maps across the session's cores. A
-    # real corpus scan has many splits and needs no such spread.
-    return load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """Documents table fanned out for the per-row text kernels in this
+    module (token/shingle/regex work dominates the scan stage);
+    fan_out_for_compute is a structural no-op on already-parallel
+    layouts — see sources/tables.py."""
+    return fan_out_for_compute(load_table(spark, sf_dir, "documents"))
+
+_CC_BY = "https://creativecommons.org/licenses/by/4.0/"
+_CC_BY_SA_IGO = "https://creativecommons.org/licenses/by-sa/3.0/igo/"
 
 
 # ------------------------------------------------------------- UNESDOC

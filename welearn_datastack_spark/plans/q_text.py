@@ -20,8 +20,16 @@ from ..functions.text import (
     remove_extra_whitespace,
     sentence_count,
 )
-from ..sources.tables import load_table
+from ..sources.tables import fan_out_for_compute, load_table
 from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table fanned out for the per-row text kernels in this
+    module (token/shingle/regex work dominates the scan stage);
+    fan_out_for_compute is a structural no-op on already-parallel
+    layouts — see sources/tables.py."""
+    return fan_out_for_compute(load_table(spark, sf_dir, "documents"))
 
 # language-ID marker tokens (n-gram-heuristic langid; deliberately
 # disjoint across languages so argmax+tiebreak is deterministic)
@@ -44,7 +52,7 @@ STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
     doc="F1/F3: whitespace collapse + trim (ref scraping_utils.py:26-37)",
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", remove_extra_whitespace(F.col("text")).alias("text_norm"))
 
 
@@ -62,7 +70,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length (ref computed_metadata.py:68-112)",
 )
 def lexicon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     words = lexicon_count(F.col("text"))
     sents = sentence_count(F.col("text"))
     return docs.select(
@@ -111,7 +119,7 @@ FROM s
     "AS STRING; NULL for unsupported langs (ref computed_metadata.py:156-180)",
 )
 def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # regex-heavy per-row work; small single-file scans arrive as one
     # partition — spread across cores first (see operators/dedup.py note)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
@@ -134,7 +142,7 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "speed 184, AS STRING (ref computed_metadata.py:183-198)",
 )
 def reading_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", predict_duration(F.col("text"), F.col("lang")).alias("duration"))
 
 
@@ -193,7 +201,7 @@ def url_status_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(normalize → md5; ref scraping_utils.py:186-195 normalize + dedup use)",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", F.md5(normalize_for_fingerprint(F.col("text"))).alias("fingerprint"))
 
 
@@ -209,7 +217,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Text-analysis: whitespace + BPE-ish regex token counting",
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("ws_tokens"),
@@ -248,7 +256,7 @@ def _markers_sql(lang: str) -> str:
     "lingua — the model-based twin is a pandas UDF in functions/udfs.py.",
 )
 def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
 
     def score(lang: str):
@@ -292,7 +300,7 @@ _SW = ", ".join(f"'{t}'" for t in STOPWORDS_EN)
     "stopword-ratio signals (LLM-data-pipeline heuristic filter)",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     words = F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).cast("double")
     alpha = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]"), 0)).cast("double")
     sw_arr = F.array(*[F.lit(t) for t in STOPWORDS_EN])
@@ -353,7 +361,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.topk import top_k_by
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # n_docs stays lazy (broadcast 1-row cross join) — an eager
     # .count() here would trigger a full table scan every time the
     # builder is called, before the query even runs
@@ -459,7 +467,7 @@ _HEXINT_T = (
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hexint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     h = hexint(F.col("doc_id").cast("string")) % 100
     quota = (
         F.when(F.col("lang") == "en", 10)
@@ -489,7 +497,7 @@ def source_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hexint
     from ..operators.topk import top_k_by
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     ranked = top_k_by(
         docs.select("doc_id", "source", hexint(F.col("doc_id").cast("string")).alias("__h")),
         ["source"],
@@ -524,7 +532,7 @@ def source_quota_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounding needed: both engines divide identical integers.",
 )
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tokenized = docs.select(
         "doc_id", F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0).alias("t")
     ).filter(F.size("t") >= 3)
@@ -566,7 +574,7 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministically since the corpus has no real PII)",
 )
 def pii_pattern_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t2 = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 7 == 0, " contact: a.b@example.com")
@@ -606,7 +614,7 @@ def pii_pattern_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
     ranked = docs.select(
         "lang",
@@ -648,7 +656,7 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens produce no row (no distribution to score) on both sides.",
 )
 def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     spark_par = spark.sparkContext.defaultParallelism
     toks = (
         docs.repartition(spark_par, "doc_id")
@@ -707,7 +715,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "terms, the n_pair >= 50 floor plays that role.",
 )
 def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     spark_par = spark.sparkContext.defaultParallelism
     toks = (
         docs.repartition(spark_par, "doc_id")
@@ -761,7 +769,7 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def html_unescape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udfs import html_unescape
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     payload = F.concat(
         F.lit("T&amp;A &lt;tag&gt; &quot;q&quot; &eacute;t&#233; &nbsp;x "),
         F.col("text"),
@@ -787,7 +795,7 @@ def html_unescape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nfc_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udfs import nfc_normalize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # "Cafe" + U+0301 combining acute (NFD) — NFC must fold to U+00E9
     payload = F.concat(
         F.lit("  Cafe\u0301&nbsp;&nbsp; "), F.col("text"), F.lit("  ")
