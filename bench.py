@@ -117,6 +117,9 @@ HEADLINE = [
     "stream_ingest_probe",
     "ingest_state_maintenance",
     "dedup_clusters",
+    "lsh_dedup_recall",
+    "dsir_importance_weights",
+    "bpe_pair_merge",
     "hal_extraction_roundtrip",
     "open_alex_extraction_roundtrip",
     "ted_extraction_roundtrip",

@@ -572,3 +572,85 @@ def test_size_conf_parser():
     assert _size_to_bytes("1g") == 1 << 30
     assert _size_to_bytes("64k") == 64 << 10
     assert _size_to_bytes("weird") == 128 << 20
+
+
+def _write_docs(tmp_path, texts):
+    """documents.parquet with the testdata schema, ids 0..n-1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["synth"] * n),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    return REGISTRY
+
+
+def test_lsh_dedup_recall_exact_dups_always_caught(spark, tmp_path):
+    """Jaccard-1.0 pairs (bucket 10) have identical shingle sets,
+    hence identical minhash signatures and band keys — banding recall
+    at bucket 10 is EXACTLY 1.0, a theorem the harness must report."""
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [dup, dup, "a completely different document about spark shuffles " * 2]
+    # pad the corpus so band buckets aren't trivially global
+    texts += [f"filler document number {i} with some shared vocabulary words" for i in range(30)]
+    reg = _write_docs(tmp_path, texts)
+    rows = {r["j_bucket"]: r for r in reg["lsh_dedup_recall"].build(spark, str(tmp_path)).collect()}
+    assert 10 in rows, rows
+    assert rows[10]["n_true"] >= 1
+    assert rows[10]["recall"] == 1.0
+    for b, r in rows.items():
+        assert 1 <= b <= 10
+        assert 0 <= r["n_caught"] <= r["n_true"]
+        assert r["sample_den"] == 1  # under the row budget: exact, unsampled
+
+
+def test_lsh_dedup_recall_matches_on_testdata(spark, sf_dir):
+    """On the real testdata corpus: buckets well above the (b=4, r=2)
+    half-collision point s50~0.5 must show high recall, and the
+    harness's candidate set is the production minhash query's."""
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    rows = REGISTRY["lsh_dedup_recall"].build(spark, sf_dir).collect()
+    assert rows, "testdata has near-dup pairs"
+    high = [r for r in rows if r["j_bucket"] >= 8]
+    assert high and all(r["recall"] >= 0.9 for r in high), rows
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """A raw doc written in the target subset's vocabulary must
+    outscore a raw doc with disjoint vocabulary, and n_grams must be
+    2k-1 for a k-token doc (k unigrams + k-1 bigrams)."""
+    target = "alpha beta alpha beta alpha beta alpha beta"
+    texts = [target]  # doc_id 0 -> target subset (doc_id % 50 == 0)
+    texts += [
+        "alpha beta alpha beta alpha beta",        # doc 1: target-like
+        "zebra yak xylophone walrus vulture quail",  # doc 2: disjoint
+    ]
+    reg = _write_docs(tmp_path, texts)
+    out = {r["doc_id"]: r for r in reg["dsir_importance_weights"].build(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}  # target docs are never scored
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+    assert out[1]["n_grams"] == 2 * 6 - 1
+    assert out[2]["n_grams"] == 2 * 6 - 1
+
+
+def test_bpe_pair_merge_known_counts(spark, tmp_path):
+    """Exact pair arithmetic on a constructed vocabulary: 'aaab' x2
+    contributes aa:2,aa:2,ab:2; 'ab' x1 contributes ab:1 -> top pair
+    aa(4), then ab(3); single-char words contribute nothing."""
+    reg = _write_docs(tmp_path, ["aaab aaab ab", "x y z"])
+    rows = reg["bpe_pair_merge"].build(spark, str(tmp_path)).collect()
+    got = [(r["rank"], r["pair"], r["cnt"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(1, "aa", 4), (2, "ab", 3)]

@@ -129,9 +129,16 @@ def jaccard_pairs(
     threshold: float,
     round_digits: int = 6,
     size_col: str | None = None,
+    with_counts: bool = False,
 ) -> DataFrame:
     """All document pairs sharing ≥1 shingle, with Jaccard similarity
     ≥ threshold. Output (a_id, b_id, jaccard), a_id < b_id.
+
+    With ``with_counts=True`` the raw integers are returned instead —
+    (a_id, b_id, common, union_sz), NO threshold filter and NO float
+    division — so a consumer can bucket/threshold in exact integer
+    arithmetic (the recall harness divides 10·common by union_sz with
+    integer div, which no floating representation can perturb).
 
     Threshold semantics: the similarity is ROUNDED to
     ``round_digits`` first and the ``>=`` filter applies to the
@@ -175,10 +182,18 @@ def jaccard_pairs(
             )
         ).alias("p")
     ).select("p.a_id", "p.b_id", "p.sa", "p.sb")
+    counted = pairs.groupBy("a_id", "b_id", "sa", "sb").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    if with_counts:
+        return counted.select(
+            "a_id",
+            "b_id",
+            "common",
+            (F.col("sa") + F.col("sb") - F.col("common")).alias("union_sz"),
+        )
     return (
-        pairs.groupBy("a_id", "b_id", "sa", "sb")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .select(
+        counted.select(
             "a_id",
             "b_id",
             F.round(

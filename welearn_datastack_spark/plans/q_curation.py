@@ -282,3 +282,98 @@ def shard_export_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, t[i] AS g
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i + 1]
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), feats AS (
+      SELECT doc_id, {_HEXINT_SQL.format(x="g")} % 64 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY doc_id, bucket
+    ), dist AS (
+      SELECT bucket,
+             SUM(CASE WHEN doc_id % 50 = 0 THEN c ELSE 0 END) AS t_c,
+             SUM(CASE WHEN doc_id % 50 <> 0 THEN c ELSE 0 END) AS r_c
+      FROM feats GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(t_c) AS t_tot, SUM(r_c) AS r_tot FROM dist
+    ), w AS (
+      SELECT bucket,
+             ln((t_c + 1) / (tot.t_tot + 64.0))
+               - ln((r_c + 1) / (tot.r_tot + 64.0)) AS lw
+      FROM dist, tot
+    )
+    SELECT f.doc_id,
+           CAST(SUM(f.c) AS BIGINT) AS n_grams,
+           ROUND(SUM(f.c * w.lw) + 5e-10, 6) AS log_weight
+    FROM feats f JOIN w ON w.bucket = f.bucket
+    WHERE f.doc_id % 50 <> 0
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, Data Selection via "
+    "Importance Resampling — public method): hashed-ngram bag features "
+    "(unigrams + bigrams -> 64 md5 buckets), a target distribution "
+    "estimated from the trusted subset (doc_id % 50 = 0, the same "
+    "held-out convention contamination_flags uses) and a raw "
+    "distribution from the rest, both add-1 smoothed; each raw "
+    "document scores log w = sum_b c_b·(ln p_b − ln q_b). Resampling "
+    "keeps the top-weight docs (rank/quantile downstream). Scale "
+    "design: the learned 'model' is a 64-row broadcast — corpus-size "
+    "independent — so the score pass is map-side; two passes over the "
+    "gram pipeline total (one to learn dist, one to score), each a "
+    "single (doc_id, bucket) hash-agg, no wide shuffle. Float note: "
+    "only ln/x+y/ROUND(…,6) cross engines; per-doc sums span <=64 "
+    "buckets so double error is ~1e-13, absorbed by the epsilon+round "
+    "convention.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_TOKENS), 0).alias("t"),
+    )
+    uni = toks.select("doc_id", F.explode("t").alias("g"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("g"),
+    )
+    feats = (
+        uni.unionAll(bi)
+        .groupBy("doc_id", (hexint(F.col("g")) % 64).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dist = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("doc_id") % 50 == 0, F.col("c")).otherwise(F.lit(0))).alias("t_c"),
+        F.sum(F.when(F.col("doc_id") % 50 != 0, F.col("c")).otherwise(F.lit(0))).alias("r_c"),
+    )
+    tot = dist.agg(
+        F.sum("t_c").alias("t_tot"), F.sum("r_c").alias("r_tot")
+    )
+    w = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("t_c") + 1) / (F.col("t_tot") + F.lit(64.0)))
+            - F.log((F.col("r_c") + 1) / (F.col("r_tot") + F.lit(64.0)))
+        ).alias("lw"),
+    )
+    return (
+        feats.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(w), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lw")) + F.lit(5e-10), 6).alias("log_weight"),
+        )
+    )

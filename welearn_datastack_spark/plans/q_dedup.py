@@ -322,6 +322,90 @@ def incremental_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_dedup_recall",
+    _SAMPLED_SHINGLES_CTE
+    + f"""
+    , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+      SELECT c.a_id, c.b_id,
+             CAST((10 * c.common) // (sa.sz + sb.sz - c.common) AS INT) AS j_bucket
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
+      WHERE (10 * c.common) // (sa.sz + sb.sz - c.common) >= 1
+    ), base AS (
+      SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
+    ), hashes AS (
+      SELECT doc_id, seed,
+             ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
+      FROM base, unnest(generate_series(0, 7)) AS s(seed)
+    ), sigs AS (
+      SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT t.j_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(c.a_id) AS BIGINT) AS n_caught,
+           ROUND(COUNT(c.a_id) / COUNT(*) + 5e-10, 4) AS recall,
+           (SELECT CAST(d AS INT) FROM den) AS sample_den
+    FROM truth t
+    LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+    GROUP BY t.j_bucket
+    """,
+    doc="Dedup-recall harness: the EMPIRICAL banding s-curve. Ground "
+    "truth = exact trigram-Jaccard pairs on the row-budget uniform "
+    "doc sample (same _JACCARD_DOC_BUDGET literal as the baselines, "
+    "surfaced as sample_den); candidates = the production MinHash "
+    "(8 perms) + LSH (4 bands x 2 rows) pipeline over the SAME "
+    "sample. Output: per decile bucket of true Jaccard (integer "
+    "div(10*common, union) — no float ever crosses the threshold), "
+    "the true-pair count, how many the banding caught, and the "
+    "recall. This measures the P(candidate|s) = 1-(1-s^r)^b curve "
+    "the ingest LshParams knobs trace (SCALE.md s-curve note): at "
+    "(b=4, r=2), s50 ~ 0.5 — buckets >= 5 should approach 1.0, "
+    "buckets 1-2 near 0. Scale: both legs are bucket-local joins on "
+    "the bounded sample, so the harness stays sf0.1-priced at any "
+    "corpus size — the way recall is audited on a 100 TB run.",
+)
+def lsh_dedup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    pc = jaccard_pairs(sh, "doc_id", threshold=0.0, with_counts=True)
+    truth = pc.select(
+        "a_id",
+        "b_id",
+        F.expr("CAST((10 * common) DIV union_sz AS INT)").alias("j_bucket"),
+    ).filter(F.col("j_bucket") >= 1)
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
+    cand = lsh_candidates(
+        lsh_band_keys(sigs, "doc_id", rows_per_band=2), "doc_id"
+    ).withColumn("hit", F.lit(1))
+    return (
+        truth.join(cand, ["a_id", "b_id"], "left")
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_caught"),
+            F.round(F.count("hit") / F.count(F.lit(1)) + F.lit(5e-10), 4).alias(
+                "recall"
+            ),
+        )
+        .withColumn("sample_den", F.lit(den).cast("int"))
+    )
+
+
+@register(
     "ingest_increment_pipeline",
     _SHINGLES_CTE
     + f"""

@@ -801,3 +801,61 @@ def nfc_normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("  Cafe\u0301&nbsp;&nbsp; "), F.col("text"), F.lit("  ")
     )
     return docs.select("doc_id", nfc_normalize(payload).alias("normalized"))
+
+
+@register(
+    "bpe_pair_merge",
+    """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ), words AS (
+      SELECT t[i] AS w FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ), vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, i, 2) AS pair, n
+      FROM vocab, unnest(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    ), counted AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+    )
+    SELECT CAST(rank AS INT) AS rank, pair, cnt FROM (
+      SELECT pair, cnt,
+             row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+      FROM counted
+    ) WHERE rank <= 20
+    """,
+    doc="Tokenizer induction: one BPE merge round (Sennrich et al. "
+    "2016 — public method) over the corpus: the 20 most frequent "
+    "adjacent character pairs, weighted by word frequency. The scale "
+    "trick is the two-level rollup: word counts first (the heavy "
+    "corpus pass collapses to a VOCAB-sized table), then char pairs "
+    "are exploded over the vocabulary — O(|vocab|·wordlen), corpus-"
+    "size independent — instead of over every token occurrence. An "
+    "iterative BPE trainer applies this kernel per round (rewrite "
+    "symbol sequences with the winning pair, recount), the same "
+    "driver-loop discipline kmeans_3iter uses; the global top-20 is "
+    "a 20-row sort on an already-tiny aggregate, not a corpus sort.",
+)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("n").cast("long").alias("cnt"))
+    rank = F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("pair")))
+    return (
+        counted.select(rank.cast("int").alias("rank"), "pair", "cnt")
+        .filter(F.col("rank") <= 20)
+    )
