@@ -215,6 +215,21 @@ _EXCHANGE_BUDGET = {
     # build collects; the RETURNED assignment frame is a pure map
     # over the scan — zero exchanges
     "kmeans_3iter": 0,
+    # truth leg (shingle agg + bucket-pair agg + pair-count agg) and
+    # candidate leg (minhash agg + band agg + pair dedup) meet in one
+    # (a_id, b_id) join; the decile rollup is the 7th — all keys are
+    # ids or narrow hashes on the row-budget sample
+    "lsh_dedup_recall": 7,
+    # gram pipeline evaluated twice (learn the 64-bucket dist, then
+    # score): 2 (doc,bucket) aggs + the bucket dist agg + final
+    # per-doc agg; the model side returns as two broadcasts + one
+    # single-partition total — growth means the 64-row model started
+    # shuffling the corpus
+    "dsir_importance_weights": 6,
+    # the whole point: corpus pass collapses to the vocab rollup (1),
+    # pair counts over the vocab (1); the top-20 window runs on the
+    # already-tiny pair table
+    "bpe_pair_merge": 2,
 }
 
 
