@@ -145,6 +145,7 @@ _BNLJ_ALLOWED = {
     "pmi_cooccurrence",             # 1-row total normalizer
     "tpch_q11_important_stock",     # 1-row global-threshold scalar
     "tpch_q22_global_sales_opportunity",  # 1-row avg-balance scalar
+    "dsir_importance_weights",      # 1-row smoothing-total scalar onto the 64-row model
 }
 
 
