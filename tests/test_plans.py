@@ -168,8 +168,12 @@ def test_no_unexpected_broadcast_nested_loop_joins(spark, sf_dir):
 # plan at sf0.001 with the session defaults.
 _EXCHANGE_BUDGET = {
     "exact_dup_flags": 1,          # one hash window over normalized text
-    "minhash_lsh_candidates": 3,   # tokenize agg + band bucket + pair dedup
-    "minhash_lsh_candidates_hashed": 3,  # same plan, 8-byte keys
+    # tokenize agg + band agg + the hot-bucket sub-split's pinned
+    # bucket/chunk-pair repartitions (round-9: lsh_candidates moved to
+    # chunked_self_pairs so no task materializes a mega-bucket's pair
+    # array) + pair dedup
+    "minhash_lsh_candidates": 7,
+    "minhash_lsh_candidates_hashed": 7,  # same plan, 8-byte keys
     "ngram_jaccard_pairs": 3,      # shingle agg + bucket pairs + jaccard agg
     "ngram_jaccard_pairs_hashed": 3,     # same plan, 8-byte keys
     # first-owner shingle agg + owner join-back + coverage dedup +
@@ -217,10 +221,10 @@ _EXCHANGE_BUDGET = {
     # over the scan — zero exchanges
     "kmeans_3iter": 0,
     # truth leg (shingle agg + bucket-pair agg + pair-count agg) and
-    # candidate leg (minhash agg + band agg + pair dedup) meet in one
-    # (a_id, b_id) join; the decile rollup is the 7th — all keys are
-    # ids or narrow hashes on the row-budget sample
-    "lsh_dedup_recall": 7,
+    # candidate leg (minhash agg + band agg + sub-split pins + pair
+    # dedup) meet in one (a_id, b_id) join + the decile rollup — all
+    # keys are ids or narrow hashes on the row-budget sample
+    "lsh_dedup_recall": 12,
     # gram pipeline evaluated twice (learn the 64-bucket dist, then
     # score): 2 (doc,bucket) aggs + the bucket dist agg + final
     # per-doc agg; the model side returns as two broadcasts + one

@@ -289,27 +289,23 @@ def lsh_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:
     """Distinct candidate pairs sharing any band key. Output
     (a_id, b_id), a_id < b_id.
 
-    Not a self-join: a self-join would recompute the whole
-    shingle→minhash→band pipeline once per branch. Instead, group the
-    bucket members into a sorted array and emit the bucket-local pair
-    combinations with array algebra — one pass over the pipeline, and
-    the combinatorial work stays proportional to bucket sizes (which
-    LSH keeps small by construction)."""
-    members = (
-        band_keys.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ms"))
-        .filter(F.size("ms") > 1)
+    Built on :func:`chunked_self_pairs` (the hot-bucket sub-split),
+    NOT the collect_list + array-combinations idiom this function
+    used through round 9: that idiom materializes a bucket's full
+    |bucket|²/2 pair array inside ONE task row buffer, which is an
+    OOM bomb on a boilerplate mega-bucket — the sf10→sf30 audit
+    measured the minhash pair stage at 22× wall for 3× data as hot
+    buckets crossed the single-task threshold (SCALE.md §20). With
+    the sub-split, per-task pair generation is ≤ ~chunk_target²
+    regardless of bucket size, the same bound the simhash band path
+    has carried since round 7; pairs sharing several bands are
+    deduplicated exactly as before. The pair SET is identical — the
+    oracle gates (`minhash_lsh_candidates(_hashed)`,
+    `lsh_dedup_recall`) verify the rewrite unchanged."""
+    pairs = chunked_self_pairs(
+        band_keys, ["band", "band_key"], id_col, payload_cols=[]
     )
-    pairs = members.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(ms) - 2),"
-                " i -> transform(sequence(i + 1, size(ms) - 1),"
-                " j -> struct(ms[i] AS a_id, ms[j] AS b_id))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.a_id", "p.b_id").dropDuplicates(["a_id", "b_id"])
+    return pairs.select("a_id", "b_id").dropDuplicates(["a_id", "b_id"])
 
 
 def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
