@@ -40,6 +40,11 @@ ALLOWED = {
         "limit+raise) + k-row centroid seeds + k x dim Lloyd partials "
         "(k bounded by stride_centroid_params)",
     ),
+    "pipeline/ingest_increment.py": (
+        1,
+        "SHOW TBLPROPERTIES fetch of the band-store LSH-params property "
+        "— bounded by the metastore (1 key row), never table data",
+    ),
     "plans/oracle_check.py": (
         1,
         "the DuckDB comparator itself materializes both sides at check SF "

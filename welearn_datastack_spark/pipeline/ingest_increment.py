@@ -131,6 +131,32 @@ def build_state(
         json.dump(asdict(params), f)
 
 
+_TBLPROP_KEY = "welearn.lsh_params"
+
+
+def _persist_table_params(
+    spark: SparkSession, table_prefix: str, params: LshParams
+) -> None:
+    """Stamp the LSH parameterization onto the bucketed band-store
+    table as a TBLPROPERTY — the metastore twin of the path store's
+    ``lsh_params.json`` sidecar, so a probe can never silently run
+    with bands built differently than the store holds."""
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_band_store "
+        f"SET TBLPROPERTIES ('{_TBLPROP_KEY}' = '{json.dumps(asdict(params))}')"
+    )
+
+
+def load_table_params(spark: SparkSession, table_prefix: str) -> LshParams | None:
+    """The bucketed store's own parameterization, or None for tables
+    written before the property existed (all built at the defaults)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_prefix}_band_store").collect()
+    for r in rows:
+        if r["key"] == _TBLPROP_KEY:
+            return LshParams(**json.loads(r["value"]))
+    return None
+
+
 def build_state_bucketed(
     docs: DataFrame,
     table_prefix: str,
@@ -165,6 +191,7 @@ def build_state_bucketed(
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_band_store")
     )
+    _persist_table_params(spark, table_prefix, params)
 
 
 def probe_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> DataFrame:
@@ -188,19 +215,31 @@ def probe_batch_bucketed(
     spark: SparkSession,
     batch: DataFrame,
     table_prefix: str,
-    params: LshParams = _DEFAULT_PARAMS,
+    params: LshParams | None = None,
 ) -> DataFrame:
     """:func:`probe_batch` against the bucketed-table state layout
     (:func:`build_state_bucketed`): identical decisions, but the
     corpus-side scans report HashPartitioning from the bucket spec so
-    neither probe join shuffles stored data. ``params`` must match the
-    build (metastore tables have no params sidecar — the caller owns
-    consistency here; the path-based store self-describes)."""
+    neither probe join shuffles stored data. The store's persisted
+    parameterization (band-store TBLPROPERTY, written by
+    :func:`build_state_bucketed` / :func:`fold_state_bucketed`)
+    always governs — passing ``params`` that CONFLICT with it raises
+    instead of silently probing with mismatched bands (which would
+    find zero candidates); tables from before the property existed
+    fall back to the explicit/default params."""
+    stored = load_table_params(spark, table_prefix)
+    if stored is not None and params is not None and stored != params:
+        raise ValueError(
+            f"LSH params mismatch: bucketed store {table_prefix!r} was "
+            f"built with {stored}, probe requested {params} — probing "
+            "with different bands than the store holds finds nothing. "
+            "Rebuild the store or drop the explicit params."
+        )
     return _probe(
         batch,
         spark.table(f"{table_prefix}_doc_hashes"),
         spark.table(f"{table_prefix}_band_store"),
-        params,
+        stored or params or _DEFAULT_PARAMS,
     )
 
 
@@ -345,7 +384,9 @@ def fold_state_bucketed(
     bucketed snapshot, and subsequent probes
     (:func:`probe_batch_bucketed`) read the corpus side with ZERO
     Exchange. Decisions are identical across the fold (same rows,
-    different layout)."""
+    different layout). The path store's ``lsh_params.json`` sidecar
+    travels with the fold (band-store TBLPROPERTY), so the folded
+    tables stay self-describing."""
     spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_doc_hashes")
     (
         spark.read.parquet(f"{state_dir}/doc_hashes")
@@ -364,3 +405,4 @@ def fold_state_bucketed(
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_band_store")
     )
+    _persist_table_params(spark, table_prefix, load_params(state_dir))

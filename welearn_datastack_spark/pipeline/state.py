@@ -37,14 +37,28 @@ def make_transitions(ids: DataFrame, id_col: str, step: str, base_order: int) ->
     as ``base_order`` and each id in the batch gets a distinct order
     via a deterministic rank on the id — NOT monotonically_increasing_id,
     whose values depend on partition layout and would break
-    idempotent re-runs."""
+    idempotent re-runs.
+
+    The global ``Window.orderBy`` serializes the frame onto one task
+    by design — correct ONLY because callers feed LIMIT-capped
+    batches (the reference's per-run batch is a few hundred ids). The
+    same runtime guard as the other bounded single-task windows
+    (operators/state_log.py) makes a misuse fail loudly instead of
+    silently serializing an unbounded log on one core."""
     if step not in STEPS:
         raise ValueError(f"unknown step {step!r}")
     from pyspark.sql import Window
 
+    from ..operators.state_log import BOUNDED_INPUT_MAX_ROWS, _bounded_row_guard
+
     w = Window.orderBy(id_col)
+    order = (
+        F.lit(base_order)
+        + F.row_number().over(w)
+        + _bounded_row_guard([F.col(id_col)], BOUNDED_INPUT_MAX_ROWS)
+    )
     return ids.select(F.col(id_col).alias("document_id")).withColumn(
-        "operation_order", F.lit(base_order) + F.row_number().over(w)
+        "operation_order", order
     ).withColumn("title", F.lit(step))
 
 

@@ -844,6 +844,23 @@ def _gate_scratch(name: str, sf_dir: str) -> str:
     import os
     import shutil
     import tempfile
+    import time
+
+    def _pid_alive(pid: int) -> bool:
+        # portable liveness probe: signal 0 delivers nothing but
+        # resolves the pid — ProcessLookupError = dead (sweepable),
+        # PermissionError = alive under another uid (NOT sweepable).
+        # /proc/<pid> would be Linux-only and make every sibling look
+        # dead on macOS/Windows, rmtree-ing a LIVE run's state stores.
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        except OSError:
+            return True  # unknowable — never sweep on doubt
+        return True
 
     root = os.path.join(
         tempfile.gettempdir(), f"welearn_gate_scratch_{os.getpid()}"
@@ -857,7 +874,17 @@ def _gate_scratch(name: str, sf_dir: str) -> str:
             pid = int(other.rsplit("_", 1)[-1])
         except ValueError:
             continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+        if pid == os.getpid():
+            continue
+        # age backstop for pid reuse: a recycled pid keeps an orphan
+        # "alive" forever, so roots untouched for a day are swept
+        # regardless (no live gate run leaves its scratch idle that
+        # long — every build rewrites its query dir).
+        try:
+            stale = (time.time() - os.path.getmtime(other)) > 24 * 3600
+        except OSError:
+            stale = False
+        if stale or not _pid_alive(pid):
             shutil.rmtree(other, ignore_errors=True)
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]

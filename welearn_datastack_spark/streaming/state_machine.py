@@ -265,6 +265,30 @@ def stream_session_counts(
     return q
 
 
+def _check_decision_log_layout(out_dir: str) -> None:
+    """Migration guard for the decision-log layout change (flat
+    appended part-files → ``batch_id=N`` partition subdirectories,
+    introduced for idempotent per-batch overwrite): restarting an old
+    deployment against a pre-existing flat ``out_dir`` would produce
+    a MIXED directory that ``spark.read.parquet`` cannot
+    partition-discover, silently breaking every decision-log reader.
+    Fail loudly before the first batch instead, with the two
+    migration options spelled out."""
+    import glob
+    import os
+
+    flat = glob.glob(os.path.join(out_dir, "part-*"))
+    if flat:
+        raise RuntimeError(
+            f"decision log at {out_dir!r} holds {len(flat)} legacy flat "
+            "part-files from the pre-batch_id layout; mixing them with "
+            "batch_id=N subdirectories would break partition discovery "
+            "for every reader. Migrate first: move the existing files "
+            "into a batch_id=-1 subdirectory (they stay readable as one "
+            "legacy batch), or point the stream at a fresh out_dir."
+        )
+
+
 def stream_ingest_probe(
     spark: SparkSession,
     docs_path: str,
@@ -306,6 +330,8 @@ def stream_ingest_probe(
     joins inside every micro-batch read the corpus side shuffle-free,
     so per-trigger cost is O(|new files|), never O(|corpus|)."""
     from ..pipeline.ingest_increment import apply_transitions, probe_batch
+
+    _check_decision_log_layout(out_dir)
 
     schema = spark.read.parquet(docs_path).schema
 
