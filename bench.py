@@ -114,6 +114,7 @@ HEADLINE = [
     "snapshot_tail_read",
     "shard_export_assignment",
     "ingest_increment_pipeline",
+    "ingest_decision_probe",
     "stream_ingest_probe",
     "ingest_state_maintenance",
     "dedup_clusters",

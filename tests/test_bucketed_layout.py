@@ -115,7 +115,7 @@ def test_bucketed_state_store_probe_elides_corpus_exchange(spark, sf_dir, tmp_pa
         plan = _plan(bucketed)
         assert "SelectedBucketsCount" in plan, plan[:1500]
         # decision parity with the path-based store
-        key = lambda r: (r["doc_id"], r["exact_dup_of"], r["n_near_candidates"], r["state"])
+        key = lambda r: (r["doc_id"], r["exact_dup_of"], r["near_dup"], r["state"])
         assert sorted(map(key, bucketed.collect())) == sorted(map(key, plain.collect()))
     finally:
         spark.sql("DROP TABLE IF EXISTS ingest_state_test_doc_hashes")

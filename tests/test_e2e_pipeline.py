@@ -140,7 +140,7 @@ def test_ingest_increment_end_to_end(spark, sf_dir, tmp_path):
         if r["state"] == "exact_dup":
             assert r["exact_dup_of"] is not None and r["exact_dup_of"] % 5 != 0
         elif r["state"] == "near_dup":
-            assert r["exact_dup_of"] is None and r["n_near_candidates"] > 0
+            assert r["exact_dup_of"] is None and r["near_dup"]
         else:
             assert r["exact_dup_of"] is None
 
@@ -299,7 +299,7 @@ def test_state_maintenance_cycle_equivalence(spark, sf_dir, tmp_path):
     dec_a = probe_batch(spark, batch_a, state).localCheckpoint(eager=True)
     apply_transitions(spark, batch_a, dec_a, state)
 
-    key = lambda r: (r["doc_id"], r["exact_dup_of"], r["n_near_candidates"], r["state"])
+    key = lambda r: (r["doc_id"], r["exact_dup_of"], r["near_dup"], r["state"])
     batch_b = docs.filter(m == 0)
     before = sorted(map(key, probe_batch(spark, batch_b, state).collect()))
 

@@ -208,6 +208,11 @@ _EXCHANGE_BUDGET = {
     # (broadcast at toy SF, bucket-local at scale) — growth means the
     # corpus side started re-shingling or re-shuffling
     "ingest_increment_pipeline": 5,
+    # the decision-only default: same batch-side aggs, but the near
+    # leg is a left_semi band-existence check + distinct on the
+    # matched batch ids — corpus collision multiplicity is never
+    # materialized, so growth here means the pair stream crept back
+    "ingest_decision_probe": 5,
     # baked-literal quantizer serve paths (round 8): assignment and
     # probe ranking are map expressions, candidates score inside a
     # broadcast join on the list id — the ONE exchange is the narrow

@@ -85,6 +85,39 @@ def test_bucketed_store_params_roundtrip_and_conflict(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_band_store")
 
 
+def test_decision_probe_matches_counting_probe(spark, sf_dir, tmp_path):
+    """The decision-only probe (production default: left_semi band
+    existence) and the counting diagnostic must yield IDENTICAL
+    (doc_id, exact_dup_of, state) decisions — only the near leg's
+    evidence differs (near_dup boolean vs partner multiplicity). The
+    decision plan must actually BE a semi join: no candidate-pair
+    aggregation may survive in it."""
+    from welearn_datastack_spark.pipeline.ingest_increment import (
+        build_state,
+        probe_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = str(tmp_path / "state")
+    build_state(docs.filter(F.col("doc_id") % 5 != 0), state)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    decision = probe_batch(spark, batch, state)
+    counting = probe_batch(spark, batch, state, count_candidates=True)
+
+    plan = decision._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1500]
+
+    key = lambda r: (r["doc_id"], r["exact_dup_of"], r["state"])
+    d = sorted(key(r) for r in decision.collect())
+    c = sorted(key(r) for r in counting.collect())
+    assert d == c
+    # and the boolean agrees with the count
+    nd = {r["doc_id"]: r["near_dup"] for r in decision.collect()}
+    for r in counting.collect():
+        assert nd[r["doc_id"]] == (r["n_near_candidates"] > 0), r
+
+
 def test_fold_state_bucketed_carries_params(spark, sf_dir, tmp_path):
     """fold_state_bucketed moves the path store's lsh_params.json
     sidecar into the folded tables' TBLPROPERTY, so a later

@@ -399,6 +399,39 @@ def incremental_lsh_candidates(
     )
 
 
+def incremental_near_dup_ids(
+    stored_bands: DataFrame, new_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """DECISION-ONLY incremental probe: the distinct new ids sharing
+    ≥1 LSH band with ANY stored document — a left_semi existence
+    check, never the candidate-pair stream. This is the hot ingest
+    path's shape: :func:`incremental_lsh_candidates` materializes one
+    row per (new, stored) band collision, so its bytes grow with
+    collision MULTIPLICITY (measured 4.72× per 3× corpus step at sf30
+    — the denser the corpus, the more stored partners each band key
+    holds); a semi join stops probing a batch band row at its first
+    match, so bytes track the MATCHED BATCH ROWS — O(|batch|·bands)
+    regardless of corpus density. The reference's dedup insert needs
+    exactly this existence decision, not the partner list
+    (nodes_helpers/collect.py:24–30). Keep the counting probe as the
+    opt-in diagnostic when the partner multiplicity itself is the
+    question."""
+    new = new_bands.select(F.col(id_col).alias("new_id"), "band", "band_key").alias("n")
+    old = stored_bands.select(
+        F.col(id_col).alias("existing_id"), "band", "band_key"
+    ).alias("o")
+    cond = (
+        (F.col("n.band") == F.col("o.band"))
+        & (F.col("n.band_key") == F.col("o.band_key"))
+        & (F.col("n.new_id") != F.col("o.existing_id"))
+    )
+    return (
+        new.join(old, on=cond, how="left_semi")
+        .select("new_id")
+        .dropDuplicates(["new_id"])
+    )
+
+
 def chunk_assignment(id_col, n_chunks) -> Column:
     """The sub-split chunk id for a bucket member: a deterministic
     hash of the id modulo the bucket's chunk count. Shared by

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     incremental_lsh_candidates,
+    incremental_near_dup_ids,
     lsh_band_keys,
     minhash_signatures,
     normalize_text,
@@ -194,21 +195,44 @@ def build_state_bucketed(
     _persist_table_params(spark, table_prefix, params)
 
 
-def probe_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> DataFrame:
+def probe_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    count_candidates: bool = False,
+) -> DataFrame:
     """Per-incoming-document dedup decision against the PERSISTED
     state — the batch is hashed/shingled in-engine, the corpus side is
     read from the state parquet (never recomputed), so probe cost is
     O(|batch|) plus the bucket-local band join.
 
-    Output (doc_id, exact_dup_of, n_near_candidates, state):
+    Default (decision-only) output (doc_id, exact_dup_of, near_dup,
+    state):
       - exact_dup_of: min stored doc id with identical content hash
         (NULL if none) → state 'exact_dup'
-      - n_near_candidates: distinct stored docs sharing ≥1 LSH band
-        → state 'near_dup' when > 0 and no exact hit
-      - otherwise state 'new'."""
+      - near_dup: TRUE iff the doc shares ≥1 LSH band with any stored
+        doc (a left_semi EXISTENCE check — probe bytes track matched
+        batch rows, never corpus collision multiplicity) → state
+        'near_dup' when no exact hit
+      - otherwise state 'new'.
+
+    ``count_candidates=True`` is the opt-in DIAGNOSTIC: it swaps the
+    near leg for the candidate-pair stream and reports
+    ``n_near_candidates`` (distinct stored partners per doc). Its
+    bytes grow with corpus collision density (4.72× per 3× corpus
+    step measured at sf30), so it is not the hot-loop default —
+    ``apply_transitions`` consumes only the state column, which is
+    identical between the modes (gated by ingest_decision_probe vs
+    ingest_increment_pipeline)."""
     stored_hashes = spark.read.parquet(f"{state_dir}/doc_hashes")
     stored_bands = spark.read.parquet(f"{state_dir}/band_store")
-    return _probe(batch, stored_hashes, stored_bands, load_params(state_dir))
+    return _probe(
+        batch,
+        stored_hashes,
+        stored_bands,
+        load_params(state_dir),
+        count_candidates=count_candidates,
+    )
 
 
 def probe_batch_bucketed(
@@ -216,6 +240,7 @@ def probe_batch_bucketed(
     batch: DataFrame,
     table_prefix: str,
     params: LshParams | None = None,
+    count_candidates: bool = False,
 ) -> DataFrame:
     """:func:`probe_batch` against the bucketed-table state layout
     (:func:`build_state_bucketed`): identical decisions, but the
@@ -240,6 +265,7 @@ def probe_batch_bucketed(
         spark.table(f"{table_prefix}_doc_hashes"),
         spark.table(f"{table_prefix}_band_store"),
         stored or params or _DEFAULT_PARAMS,
+        count_candidates=count_candidates,
     )
 
 
@@ -248,6 +274,7 @@ def _probe(
     stored_hashes: DataFrame,
     stored_bands: DataFrame,
     params: LshParams = _DEFAULT_PARAMS,
+    count_candidates: bool = False,
 ) -> DataFrame:
     exact = (
         content_hashes(batch)
@@ -260,16 +287,15 @@ def _probe(
         .groupBy("doc_id")
         .agg(F.min("s_id").alias("exact_dup_of"))
     )
-    near = (
-        incremental_lsh_candidates(stored_bands, band_keys(batch, params=params), "doc_id")
-        .groupBy(F.col("new_id").alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("n_near_candidates"))
-    )
-    return (
-        batch.select("doc_id")
-        .join(exact, on="doc_id", how="left")
-        .join(near, on="doc_id", how="left")
-        .select(
+    batch_bands = band_keys(batch, params=params)
+    base = batch.select("doc_id").join(exact, on="doc_id", how="left")
+    if count_candidates:
+        near = (
+            incremental_lsh_candidates(stored_bands, batch_bands, "doc_id")
+            .groupBy(F.col("new_id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_near_candidates"))
+        )
+        return base.join(near, on="doc_id", how="left").select(
             "doc_id",
             "exact_dup_of",
             F.coalesce("n_near_candidates", F.lit(0)).cast("long").alias(
@@ -280,6 +306,17 @@ def _probe(
             .otherwise(F.lit("new"))
             .alias("state"),
         )
+    near_ids = incremental_near_dup_ids(stored_bands, batch_bands, "doc_id").select(
+        F.col("new_id").alias("doc_id"), F.lit(True).alias("near_dup")
+    )
+    return base.join(near_ids, on="doc_id", how="left").select(
+        "doc_id",
+        "exact_dup_of",
+        F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+        .when(F.coalesce("near_dup", F.lit(False)), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("state"),
     )
 
 

@@ -467,6 +467,77 @@ def ingest_increment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     state_dir = _gate_scratch("ingest_incr", sf_dir) + "/state"
     build_state(docs.filter(F.col("doc_id") % 5 != 0), state_dir)
+    # the COUNTING diagnostic probe — partner multiplicity per doc;
+    # the production default (decision-only) is gated separately by
+    # ingest_decision_probe, whose state column this oracle constrains
+    # to be identical
+    return probe_batch(
+        spark, docs.filter(F.col("doc_id") % 5 == 0), state_dir,
+        count_candidates=True,
+    )
+
+
+@register(
+    "ingest_decision_probe",
+    _SHINGLES_CTE
+    + f"""
+    , base AS (
+      SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
+    ), hashes AS (
+      SELECT doc_id, seed,
+             ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
+      FROM base, unnest(generate_series(0, 7)) AS s(seed)
+    ), sigs AS (
+      SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+    ), near AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.band_key = o.band_key
+      WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 != 0
+    ), exact AS (
+      SELECT i.doc_id, MIN(s.doc_id) AS exact_dup_of
+      FROM documents i JOIN documents s
+        ON md5(trim(regexp_replace(lower(i.text), '\\s+', ' ', 'g'))) =
+           md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g')))
+       AND i.doc_id % 5 = 0 AND s.doc_id % 5 != 0
+      GROUP BY i.doc_id
+    )
+    SELECT i.doc_id, e.exact_dup_of,
+           (n.doc_id IS NOT NULL) AS near_dup,
+           CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS state
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+    doc="The DECISION-ONLY ingest probe — the production default of "
+    "pipeline/ingest_increment.probe_batch: near-dup detection is a "
+    "left_semi EXISTENCE check of the batch's band keys against the "
+    "persisted band store (operators/dedup.incremental_near_dup_ids), "
+    "never the candidate-pair stream, so probe bytes track the "
+    "MATCHED BATCH ROWS instead of corpus collision multiplicity "
+    "(which the sf30 audit measured growing 4.72x per 3x corpus "
+    "step on the counting probe — the one super-linear byte object "
+    "left in the production ingest loop before this). The oracle "
+    "derives the same (exact_dup/near_dup/new) decisions with an "
+    "EXISTS over the band join; together with "
+    "ingest_increment_pipeline (the counting diagnostic, same split, "
+    "same state store) it pins that both probe modes yield IDENTICAL "
+    "state columns. The reference analogy: the dedup insert needs "
+    "existence only (nodes_helpers/collect.py:24-30).",
+)
+def ingest_decision_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.ingest_increment import build_state, probe_batch
+    from .q_extra import _gate_scratch
+
+    docs = _docs(spark, sf_dir)
+    state_dir = _gate_scratch("ingest_decision", sf_dir) + "/state"
+    build_state(docs.filter(F.col("doc_id") % 5 != 0), state_dir)
     return probe_batch(spark, docs.filter(F.col("doc_id") % 5 == 0), state_dir)
 
 
@@ -960,7 +1031,11 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Both queries produce dec_a ∪ dec_b — they differ only in WHICH
 # engine machinery runs between the phases (a checkpointed stream vs
 # a compaction maintenance cycle), which the oracle is blind to by
-# design: the decisions must be invariant to it.
+# design: the decisions must be invariant to it. The near leg is the
+# DECISION-ONLY probe (EXISTS over the band join — the production
+# default since the counting probe's bytes were measured growing with
+# corpus collision density); the counting diagnostic keeps its own
+# oracle on ingest_increment_pipeline.
 _TWO_PHASE_INGEST_ORACLE = (
     _SHINGLES_CTE
     + f"""
@@ -990,18 +1065,17 @@ _TWO_PHASE_INGEST_ORACLE = (
       WHERE i.m = 4 AND s.m IN (1, 2, 3)
       GROUP BY i.doc_id
     ), near_a AS (
-      SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS n_near
+      SELECT DISTINCT n.doc_id
       FROM bands n JOIN bands o
         ON n.band = o.band AND n.band_key = o.band_key
       JOIN ch cn ON cn.doc_id = n.doc_id
       JOIN ch co ON co.doc_id = o.doc_id
       WHERE cn.m = 4 AND co.m IN (1, 2, 3)
-      GROUP BY n.doc_id
     ), dec_a AS (
       SELECT i.doc_id, e.exact_dup_of,
-             CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_candidates,
+             (n.doc_id IS NOT NULL) AS near_dup,
              CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
-                  WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+                  WHEN n.doc_id IS NOT NULL THEN 'near_dup'
                   ELSE 'new' END AS state
       FROM (SELECT doc_id FROM ch WHERE m = 4) i
       LEFT JOIN exact_a e ON e.doc_id = i.doc_id
@@ -1020,18 +1094,17 @@ _TWO_PHASE_INGEST_ORACLE = (
       WHERE i.m = 0
       GROUP BY i.doc_id
     ), near_b AS (
-      SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS n_near
+      SELECT DISTINCT n.doc_id
       FROM bands n JOIN bands o
         ON n.band = o.band AND n.band_key = o.band_key
       JOIN ch cn ON cn.doc_id = n.doc_id
       JOIN stored_b sb ON sb.doc_id = o.doc_id
       WHERE cn.m = 0
-      GROUP BY n.doc_id
     ), dec_b AS (
       SELECT i.doc_id, e.exact_dup_of,
-             CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_candidates,
+             (n.doc_id IS NOT NULL) AS near_dup,
              CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
-                  WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+                  WHEN n.doc_id IS NOT NULL THEN 'near_dup'
                   ELSE 'new' END AS state
       FROM (SELECT doc_id FROM ch WHERE m = 0) i
       LEFT JOIN exact_b e ON e.doc_id = i.doc_id
@@ -1095,7 +1168,7 @@ def stream_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioned by batch_id (the idempotent-replay layout) — project
     # it away so the gate compares the decision columns only.
     return spark.read.parquet(f"{work}/out").select(
-        "doc_id", "exact_dup_of", "n_near_candidates", "state"
+        "doc_id", "exact_dup_of", "near_dup", "state"
     )
 
 
