@@ -564,6 +564,96 @@ def test_fan_out_noop_on_tiny_input(spark, sf_dir):
     assert fan_out_for_compute(df) is df
 
 
+def _actual_scan_partitions(spark, path: str) -> int:
+    return spark.read.parquet(path).rdd.getNumPartitions()
+
+
+def _estimated_scan_partitions(spark, path: str) -> int:
+    from welearn_datastack_spark.sources.tables import (
+        _estimate_scan_partitions,
+        _size_to_bytes,
+    )
+
+    import glob as g
+    import os
+
+    files = (
+        g.glob(f"{path}/*.parquet") if os.path.isdir(path) else [path]
+    )
+    sizes = [os.path.getsize(f) for f in files]
+    return _estimate_scan_partitions(
+        sizes,
+        _size_to_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes")),
+        _size_to_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")),
+        spark.sparkContext.defaultParallelism,
+    )
+
+
+def test_scan_partition_estimate_matches_spark(spark, tmp_path):
+    """_estimate_scan_partitions reproduces Spark's REAL packing
+    (maxSplitBytes + desc-size greedy bin-pack with openCost), pinned
+    against df.rdd.getNumPartitions() on three layouts — including
+    the many-tiny-files case where the old Σceil(size/maxPartition)
+    estimate overestimated and no-op'd the fan-out guard on exactly
+    the fragmented layout it was built to fix."""
+    layouts = {
+        "one": 1,      # single file, one split
+        "eight": 8,    # a few medium files
+        "many": 33,    # many tiny files — packing folds them
+    }
+    for name, n in layouts.items():
+        p = str(tmp_path / name)
+        spark.range(0, 4_000).selectExpr(
+            "id", "sha2(cast(id AS string), 256) AS pad"
+        ).repartition(n).write.parquet(p)
+        est = _estimated_scan_partitions(spark, p)
+        actual = _actual_scan_partitions(spark, p)
+        assert est == actual, (name, est, actual)
+
+
+def test_estimate_models_packing_not_per_file_ceil(spark):
+    """The advisor scenario: many small files must NOT estimate as
+    one partition per file when Spark would bin-pack them together —
+    with a low parallelism the per-core ceiling rises and tiny files
+    fold many-to-a-partition."""
+    from welearn_datastack_spark.sources.tables import _estimate_scan_partitions
+
+    # 64 x 2 MB files, 4 cores: ceiling = min(128MB, (64*(2+4))/4 = 96MB)
+    # -> 16 files per partition -> 4 partitions (old estimate: 64)
+    est = _estimate_scan_partitions(
+        [2 << 20] * 64, 128 << 20, 4 << 20, min_partition_num=4
+    )
+    assert est == 4, est
+    # a file above the ceiling still splits: 512 MB at 32 cores ->
+    # per-core ceiling (512+4)/32 = 16.125 MB -> 32 splits, one per
+    # partition (split size + openCost exceeds the ceiling)
+    est_big = _estimate_scan_partitions([512 << 20], 128 << 20, 4 << 20, 32)
+    assert est_big == 32, est_big
+
+
+def test_fan_out_noop_on_production_multifile_layout(spark, tmp_path):
+    """The verdict's production-layout pin: on a multi-split layout
+    (a directory of part files — the shape tools/gen_sf.py
+    --files-per-table writes and any real cluster produces), the
+    fan-out guard must (a) return its input UNCHANGED and (b) leave
+    kernel plans with NO round-robin exchange, while the layout alone
+    spreads the scan across cores."""
+    from welearn_datastack_spark.sources.tables import fan_out_for_compute
+
+    p = str(tmp_path / "prod_layout")
+    spark.range(0, 20_000).selectExpr(
+        "id AS doc_id", "repeat(sha2(cast(id AS string), 256), 4) AS text"
+    ).repartition(32).write.parquet(p)
+    df = spark.read.parquet(p)
+    n_scan = df.rdd.getNumPartitions()
+    assert n_scan > 1, "layout must provide splits for this pin"
+    fanned = fan_out_for_compute(df, bytes_per_task=16 << 10)
+    assert fanned is df  # structural no-op, not even a new plan node
+    kernel = fanned.selectExpr("doc_id", "length(text) AS n")
+    plan = kernel._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan, plan[:1200]
+
+
 def test_size_conf_parser():
     from welearn_datastack_spark.sources.tables import _size_to_bytes
 

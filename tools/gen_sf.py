@@ -51,7 +51,29 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 DAY_US = 86_400_000_000  # microseconds per day
 
 
+N_FILES = 1  # module knob, set by --files-per-table
+
+
 def _write(out: str, name: str, table: pa.Table) -> None:
+    if N_FILES > 1 and table.num_rows >= N_FILES:
+        # production-layout variant: the table arrives as MANY files
+        # (a directory of parts, the shape a real cluster writes), so
+        # scans split across cores from the layout alone — the case
+        # fan_out_for_compute must structurally no-op on. The
+        # single-file default mirrors the driver's toy testdata.
+        path = os.path.join(out, f"{name}.parquet")
+        os.makedirs(path, exist_ok=True)
+        step = -(-table.num_rows // N_FILES)
+        for i in range(N_FILES):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk,
+                    os.path.join(path, f"part-{i:05d}.parquet"),
+                    row_group_size=256 * 1024,
+                )
+        print(f"  {name}: {table.num_rows} rows -> {path} ({N_FILES} files)")
+        return
     path = os.path.join(out, f"{name}.parquet")
     pq.write_table(table, path, row_group_size=256 * 1024)
     print(f"  {name}: {table.num_rows} rows -> {path}")
@@ -188,8 +210,15 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default="/tmp/welearn_sf1")
+    ap.add_argument(
+        "--files-per-table", type=int, default=1,
+        help="write each table as N part files in a name.parquet/ dir "
+        "(production multi-split layout; 1 = driver-style single file)",
+    )
     args = ap.parse_args()
-    print(f"generating sf={args.sf} -> {args.out}")
+    global N_FILES
+    N_FILES = args.files_per_table
+    print(f"generating sf={args.sf} -> {args.out} (files/table={N_FILES})")
     generate(args.sf, args.out)
 
 

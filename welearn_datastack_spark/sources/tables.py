@@ -100,12 +100,16 @@ def fan_out_for_compute(df: DataFrame, bytes_per_task: int = 2 << 20) -> DataFra
 
     The decision uses file metadata only (no Spark job):
     ``target = clamp(ceil(input_bytes / bytes_per_task), 1,
-    defaultParallelism)``; estimated scan parallelism =
-    Σ ceil(file_size / maxPartitionBytes), an upper bound on what the
-    scan can yield (row-group granularity can only reduce it), so the
-    guard never repartitions a layout that is already parallel. Files
-    not visible from the driver (remote FS) fall back to the no-op —
-    exactly the deployments where the layout provides splits anyway."""
+    defaultParallelism)``; estimated scan parallelism reproduces
+    Spark's OWN split packing (:func:`_estimate_scan_partitions` —
+    the FilePartition maxSplitBytes formula + greedy desc-size
+    bin-packing with filesOpenCostInBytes), NOT a per-file upper
+    bound: Spark packs many small files into few partitions, so a
+    Σ ceil(size/maxPartitionBytes) estimate would overestimate on
+    exactly the fragmented small-files layout the guard exists to
+    fix, and no-op it back onto few cores. Files not visible from the
+    driver (remote FS) fall back to the no-op — exactly the
+    deployments where the layout provides splits anyway."""
     try:
         files = df.inputFiles()
         sizes = []
@@ -117,17 +121,59 @@ def fan_out_for_compute(df: DataFrame, bytes_per_task: int = 2 << 20) -> DataFra
         if not sizes:
             return df
         spark = df.sparkSession
-        max_split = _size_to_bytes(
+        max_partition = _size_to_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        est_scan = sum(max(1, math.ceil(s / max_split)) for s in sizes)
+        open_cost = _size_to_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
         par = spark.sparkContext.defaultParallelism
+        est_scan = _estimate_scan_partitions(sizes, max_partition, open_cost, par)
         target = min(par, math.ceil(sum(sizes) / bytes_per_task))
         if target <= est_scan:
             return df
         return df.repartition(target)
     except Exception:  # pragma: no cover — metadata probe must never break a plan
         return df
+
+
+def _estimate_scan_partitions(
+    sizes: list[int], max_partition_bytes: int, open_cost: int, min_partition_num: int
+) -> int:
+    """Replicate Spark's scan-partition count from file metadata —
+    the same arithmetic as ``FilePartition.maxSplitBytes`` +
+    ``getFilePartitions`` (public Spark source, sql/core
+    datasources): each file is charged ``openCostInBytes`` on top of
+    its length, the per-partition ceiling is
+    ``min(maxPartitionBytes, max(openCost, totalCharged/minPartitionNum))``,
+    files are split at that ceiling, and the resulting splits are
+    greedily packed in descending size order, closing a partition
+    when the next split would overflow it. Mirroring the packing
+    (rather than upper-bounding per file) is what lets
+    :func:`fan_out_for_compute` see that 64 tiny files may really
+    scan as a handful of partitions."""
+    sizes = [s for s in sizes if s > 0]
+    if not sizes:
+        return 1
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total // max(1, min_partition_num)
+    max_split = min(max_partition_bytes, max(open_cost, bytes_per_core))
+    splits: list[int] = []
+    for s in sizes:
+        off = 0
+        while off < s:
+            splits.append(min(max_split, s - off))
+            off += max_split
+    splits.sort(reverse=True)
+    n_parts, cur = 0, 0
+    for sp in splits:
+        if cur + sp > max_split and cur > 0:
+            n_parts += 1
+            cur = 0
+        cur += sp + open_cost
+    if cur > 0:
+        n_parts += 1
+    return max(1, n_parts)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
