@@ -121,6 +121,7 @@ HEADLINE = [
     "lsh_dedup_recall",
     "dsir_importance_weights",
     "bpe_pair_merge",
+    "bpe_merge_3rounds",
     "hal_extraction_roundtrip",
     "open_alex_extraction_roundtrip",
     "ted_extraction_roundtrip",

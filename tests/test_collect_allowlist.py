@@ -59,6 +59,11 @@ ALLOWED = {
         2,
         "k-row centroid seed fetches for kmeans/ivf builds (k is a literal)",
     ),
+    "plans/q_text.py": (
+        1,
+        "1-row argmax merge winner per BPE round (limit 1 + collect, "
+        "kmeans centroid discipline)",
+    ),
     "sources/collectors.py": (
         1,
         "wholetext read of ONE feed/sitemap document for driver-side XML "

@@ -240,6 +240,10 @@ _EXCHANGE_BUDGET = {
     # pair counts over the vocab (1); the top-20 window runs on the
     # already-tiny pair table
     "bpe_pair_merge": 2,
+    # one pair-rollup exchange per unrolled round; the corpus never
+    # appears in the returned plan (vocab pinned by localCheckpoint),
+    # so growth means a round started rescanning the corpus
+    "bpe_merge_3rounds": 3,
 }
 
 

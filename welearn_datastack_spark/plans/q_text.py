@@ -859,3 +859,171 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.select(rank.cast("int").alias("rank"), "pair", "cnt")
         .filter(F.col("rank") <= 20)
     )
+
+
+def _bpe_round_sql() -> str:
+    """Unrolled 3-round BPE-induction oracle: each round counts
+    adjacent symbol pairs over the vocab, picks the argmax merge as a
+    1-row CTE, and applies it with a list_reduce fold whose string
+    accumulator IS the space-joined symbol sequence — the same greedy
+    left-to-right non-overlapping merge the Spark side folds with
+    ``aggregate`` (a chain of k identical symbols merges to
+    floor(k/2) pairs; replace()-based rewrites get this wrong)."""
+    rounds = []
+    for i in (1, 2, 3):
+        rounds.append(f"""
+    c{i} AS (
+      SELECT sp[i] AS l, sp[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT n, string_split(s, ' ') AS sp FROM v{i}),
+           unnest(generate_series(1, len(sp) - 1)) AS u(i)
+      WHERE len(sp) >= 2
+      GROUP BY sp[i], sp[i + 1]
+    ), w{i} AS (
+      SELECT l, r FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ), v{i + 1} AS (
+      SELECT w, n,
+             list_reduce(string_split(s, ' '), (acc, x) ->
+               CASE WHEN regexp_extract(acc, '[^ ]+$') = w{i}.l AND x = w{i}.r
+                    THEN regexp_replace(acc, '[^ ]+$', w{i}.l || w{i}.r)
+                    ELSE acc || ' ' || x END) AS s
+      FROM v{i}, w{i}
+    )""")
+    tops = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({i} AS INT) AS merge_round,
+             CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS INT) AS rnk,
+             l AS left_sym, r AS right_sym, cnt
+      FROM c{i}"""
+        for i in (1, 2, 3)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\\w+') AS t FROM documents
+    ), words AS (
+      SELECT t[i] AS w FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ), v1 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+             array_to_string(
+               list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+               ' ') AS s
+      FROM words GROUP BY w
+    ),{",".join(rounds)}
+    SELECT merge_round, rnk, left_sym, right_sym, cnt FROM (
+{tops}
+    ) WHERE rnk <= 10
+    """
+
+
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over the (tiny) vocab rollup —
+    O(|vocab|·wordlen), corpus-size independent."""
+    return (
+        vocab.withColumn("sp", F.split("s", " "))
+        .filter(F.size("sp") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(sp) - 1), i -> "
+                    "struct(element_at(sp, i) AS l, element_at(sp, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one merge rule greedily left-to-right: a fold over the
+    symbol sequence whose accumulator is the space-joined rewrite —
+    the last token merges with x iff it EQUALS the rule's left symbol
+    (a just-merged token is left||right ≠ left, so it can never
+    re-merge within the round, exactly Sennrich-BPE semantics).
+    Symbols come from \\w+ tokens, so inlining them as expression
+    literals is injection-safe by construction."""
+    merged = left + right
+    return vocab.withColumn(
+        "s",
+        F.expr(
+            "CASE WHEN size(split(s, ' ')) < 2 THEN s ELSE "
+            "aggregate(slice(split(s, ' '), 2, size(split(s, ' ')) - 1), "
+            "element_at(split(s, ' '), 1), (acc, x) -> "
+            f"CASE WHEN regexp_extract(acc, '[^ ]+$', 0) = '{left}' AND x = '{right}' "
+            f"THEN regexp_replace(acc, '[^ ]+$', '{merged}') "
+            "ELSE concat(acc, ' ', x) END) END"
+        ),
+    )
+
+
+@register(
+    "bpe_merge_3rounds",
+    _bpe_round_sql(),
+    doc="ITERATED tokenizer induction — 3 full BPE merge rounds "
+    "(Sennrich et al. 2016, public method): count adjacent symbol "
+    "pairs weighted by word frequency, pick the argmax merge "
+    "(cnt DESC, symbol tiebreak), REWRITE the vocab's symbol "
+    "sequences with that rule (greedy left-to-right fold), and "
+    "recount — the merge→apply→recount cycle a real tokenizer "
+    "trainer loops, unrolled k=3 with the kmeans_3iter driver-loop "
+    "discipline: the corpus collapses to the vocab rollup ONCE "
+    "(localCheckpoint pins it so no round rescans the corpus), each "
+    "round's argmax is a 1-row bounded collect baked back as an "
+    "expression literal, and per-round work is O(|vocab|·wordlen), "
+    "corpus-size independent. Output: per-round top-10 pair counts "
+    "(the round's rank-1 row IS the applied merge), so the oracle "
+    "gates both the recount after every rewrite and the argmax "
+    "choice. The DuckDB twin unrolls the same three rounds as CTEs "
+    "with a list_reduce fold — no driver state crosses engines.",
+)
+def bpe_merge_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "s",
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)))"
+            ),
+        )
+        # pin the corpus rollup: every later round folds THIS frame,
+        # never the corpus (bounded: |distinct words| rows)
+        .localCheckpoint(eager=True)
+    )
+    out: DataFrame | None = None
+    for rnd in (1, 2, 3):
+        counted = _bpe_pair_counts(vocab)
+        rank = F.row_number().over(
+            W.orderBy(F.desc("cnt"), "left_sym", "right_sym")
+        )
+        ranked = counted.select(
+            F.lit(rnd).alias("merge_round"),
+            rank.cast("int").alias("rnk"),
+            "left_sym",
+            "right_sym",
+            "cnt",
+        ).filter(F.col("rnk") <= 10)
+        out = ranked if out is None else out.unionByName(ranked)
+        # the round's winner: a 1-row bounded fetch (limit 1), baked
+        # into the next round's fold as literals — kmeans centroid
+        # discipline. Empty only when no pairs exist at all, in which
+        # case every later round is empty too (both engines agree).
+        top = (
+            counted.orderBy(F.desc("cnt"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        vocab = _bpe_apply_merge(
+            vocab, top[0]["left_sym"], top[0]["right_sym"]
+        ).localCheckpoint(eager=True)
+    return out
