@@ -119,6 +119,7 @@ HEADLINE = [
     "ingest_state_maintenance",
     "dedup_clusters",
     "lsh_dedup_recall",
+    "lsh_dedup_recall_wide",
     "dsir_importance_weights",
     "bpe_pair_merge",
     "bpe_merge_3rounds",

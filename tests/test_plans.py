@@ -230,6 +230,7 @@ _EXCHANGE_BUDGET = {
     # dedup) meet in one (a_id, b_id) join + the decile rollup — all
     # keys are ids or narrow hashes on the row-budget sample
     "lsh_dedup_recall": 12,
+    "lsh_dedup_recall_wide": 12,  # same plan at (b=8, r=2) sizing
     # gram pipeline evaluated twice (learn the 64-bucket dist, then
     # score): 2 (doc,bucket) aggs + the bucket dist agg + final
     # per-doc agg; the model side returns as two broadcasts + one

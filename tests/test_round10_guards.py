@@ -85,6 +85,89 @@ def test_bucketed_store_params_roundtrip_and_conflict(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_band_store")
 
 
+def test_size_lsh_params_solves_the_s_curve():
+    """The sizing helper inverts s50 = (1/b)^(1/r): known anchors map
+    back exactly, the realized s50 lands near any target, more
+    permissive targets never cost more hashes than stricter ones, and
+    impossible targets fail loudly."""
+    from welearn_datastack_spark.pipeline.ingest_increment import (
+        LshParams,
+        size_lsh_params,
+    )
+
+    # the production default is the 0.5 anchor: 4 bands x 2 rows
+    assert size_lsh_params(0.5) == LshParams(3, 8, 2)
+    # the documented second parameterization: 8 bands x 2 rows
+    p = size_lsh_params(0.35)
+    assert (p.n_hashes, p.rows_per_band) == (16, 2)
+    assert abs(p.s50 - 0.35) < 0.01
+    # realized s50 tracks the target across the range
+    for t in (0.2, 0.3, 0.4, 0.6, 0.7, 0.8):
+        got = size_lsh_params(t, max_hashes=256)
+        assert abs(got.s50 - t) < 0.05, (t, got)
+    # lower threshold (more recall) needs at least as many hashes
+    assert size_lsh_params(0.3, max_hashes=256).n_hashes >= size_lsh_params(
+        0.6, max_hashes=256
+    ).n_hashes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        size_lsh_params(0.05, max_hashes=8)  # unreachable in budget
+    with _pytest.raises(ValueError):
+        size_lsh_params(1.5)
+
+
+def test_wide_banding_raises_mid_similarity_recall(spark):
+    """The sizing helper's promise, validated empirically: moving
+    from the default (b=4, r=2; s50~0.5) to the 0.35-target sizing
+    (b=8, r=2; s50~0.354) must catch MORE mid-similarity pairs.
+    Structurally, band k is built from seeds (rk .. rk+r-1), so the
+    wide banding's first 4 bands ARE the default's bands — its
+    candidate set is a superset by construction; the extra 4 bands
+    buy the extra recall. Synthetic pairs near Jaccard ~0.35 (where
+    the default's s-curve gives ~0.4 hit rate and the wide one ~0.65)
+    make the gap deterministic and visible."""
+    from welearn_datastack_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidates,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    rows = []
+    for i in range(60):
+        base = [f"w{i}_{j}" for j in range(30)]
+        # partner shares a prefix: trigram-shingle Jaccard lands in
+        # the 0.3-0.45 band (shared shingles / union)
+        partner = base[:16] + [f"x{i}_{j}" for j in range(14)]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(partner)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(60)}
+
+    def caught(n_hashes: int) -> set:
+        sigs = minhash_signatures(sh, "doc_id", n_hashes=n_hashes)
+        cand = lsh_candidates(
+            lsh_band_keys(sigs, "doc_id", rows_per_band=2), "doc_id"
+        )
+        got = {(r["a_id"], r["b_id"]) for r in cand.collect()}
+        return got & true_pairs
+
+    default_caught = caught(8)
+    wide_caught = caught(16)
+    # superset by construction (shared leading bands) ...
+    assert default_caught <= wide_caught
+    # ... and the extra bands genuinely move mid-band recall
+    assert len(wide_caught) > len(default_caught), (
+        len(default_caught), len(wide_caught),
+    )
+    print(
+        f"mid-band recall: default {len(default_caught)}/60, "
+        f"wide {len(wide_caught)}/60"
+    )
+
+
 def test_decision_probe_matches_counting_probe(spark, sf_dir, tmp_path):
     """The decision-only probe (production default: left_semi band
     existence) and the counting diagnostic must yield IDENTICAL

@@ -111,17 +111,31 @@ def _ingest_increment(args: argparse.Namespace) -> None:
     always wins, so probes can never mismatch the stored bands. See
     pipeline.ingest_increment.LshParams for the candidate s-curve the
     knobs trace (defaults: 4 bands x 2 rows -> s50 = 0.5 Jaccard)."""
-    from .pipeline.ingest_increment import LshParams, ingest_increment, load_params
+    from .pipeline.ingest_increment import (
+        LshParams,
+        ingest_increment,
+        load_params,
+        size_lsh_params,
+    )
     from .session import get_spark
     from .sources.tables import load_table
 
     spark = get_spark("welearn-ingest-increment")
     docs = load_table(spark, args.sf_dir, "documents")
-    params = LshParams(
-        shingle_n=args.shingle_n,
-        n_hashes=args.n_hashes,
-        rows_per_band=args.rows_per_band,
-    )
+    if args.target_s50 is not None:
+        # recall-driven sizing: derive the banding from the threshold
+        # (validated by the lsh_dedup_recall harness family)
+        params = size_lsh_params(args.target_s50, shingle_n=args.shingle_n)
+        print(
+            f"sized for s50~{args.target_s50}: {params} "
+            f"(realized s50={params.s50:.3f}, {params.n_bands} bands)"
+        )
+    else:
+        params = LshParams(
+            shingle_n=args.shingle_n,
+            n_hashes=args.n_hashes,
+            rows_per_band=args.rows_per_band,
+        )
     decisions = ingest_increment(
         spark, docs, args.state, out_dir=args.out, batch_mod=args.batch_mod,
         params=params,
@@ -195,6 +209,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="minhash signature length (first build only)")
     ii.add_argument("--rows-per-band", type=int, default=2,
                     help="LSH rows per band; bands = n_hashes/rows (first build only)")
+    ii.add_argument("--target-s50", type=float, default=None,
+                    help="size the banding from a Jaccard threshold instead: "
+                    "pick (n_hashes, rows_per_band) whose candidate s-curve "
+                    "crosses 50%% nearest this similarity (overrides "
+                    "--n-hashes/--rows-per-band; first build only)")
     ii.set_defaults(fn=_ingest_increment)
 
     k = sub.add_parser("compact", help="bin-pack a fragmented parquet directory in place")

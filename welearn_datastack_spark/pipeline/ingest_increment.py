@@ -80,6 +80,45 @@ class LshParams:
 _DEFAULT_PARAMS = LshParams()
 
 
+def size_lsh_params(
+    target_s50: float,
+    shingle_n: int = 3,
+    max_hashes: int = 64,
+    rows_choices: tuple[int, ...] = (2, 3, 4),
+) -> LshParams:
+    """CLOSE THE RECALL→SIZING LOOP: turn a similarity threshold into
+    a banding parameterization. The banding s-curve puts a pair with
+    Jaccard s at candidate probability 1−(1−s^r)^b, whose 50% point
+    is s50 ≈ (1/b)^(1/r); given the threshold a user wants near-dups
+    caught above, solve for (b, r): for each candidate row count r,
+    b = round((1/target)^r), keep the combination whose realized s50
+    lands closest to the target within the ``max_hashes`` signature
+    budget (ties → fewer hashes, i.e. cheaper signatures and less
+    band-store state: per-batch cost is linear in n_hashes, state is
+    |corpus|·b rows). The choice is VALIDATED empirically by the
+    lsh_dedup_recall harness family — the measured per-decile recall
+    curve at the chosen params (SCALE.md s-curve table), not just the
+    formula. Surfaced on the ingest-increment CLI as --target-s50."""
+    if not 0.0 < target_s50 < 1.0:
+        raise ValueError(f"target_s50 must be in (0, 1), got {target_s50}")
+    best: tuple[tuple[float, int], LshParams] | None = None
+    for r in rows_choices:
+        b0 = round((1.0 / target_s50) ** r)
+        for b in (b0 - 1, b0, b0 + 1):
+            if b < 1 or b * r > max_hashes:
+                continue
+            p = LshParams(shingle_n=shingle_n, n_hashes=b * r, rows_per_band=r)
+            key = (abs(p.s50 - target_s50), p.n_hashes)
+            if best is None or key < best[0]:
+                best = (key, p)
+    if best is None:
+        raise ValueError(
+            f"no banding with <= {max_hashes} hashes reaches s50 ~ "
+            f"{target_s50}; raise max_hashes or relax the target"
+        )
+    return best[1]
+
+
 def _params_path(state_dir: str) -> str:
     return f"{state_dir}/lsh_params.json"
 

@@ -321,10 +321,16 @@ def incremental_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_candidates(stored, incoming, "doc_id")
 
 
-@register(
-    "lsh_dedup_recall",
-    _SAMPLED_SHINGLES_CTE
-    + f"""
+def _register_recall(name: str, n_hashes: int, rows_per_band: int, doc: str) -> None:
+    """Register one parameterization of the dedup-recall harness —
+    the empirical validator for :func:`pipeline.ingest_increment.
+    size_lsh_params`: the sizing helper picks (n_hashes,
+    rows_per_band) from the s50 formula, this family MEASURES the
+    per-decile recall the choice actually delivers on the row-budget
+    sample, at sf0.1 cost regardless of corpus size."""
+    sql = (
+        _SAMPLED_SHINGLES_CTE
+        + f"""
     , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
@@ -342,13 +348,13 @@ def incremental_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), hashes AS (
       SELECT doc_id, seed,
              ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
-      FROM base, unnest(generate_series(0, 7)) AS s(seed)
+      FROM base, unnest(generate_series(0, {n_hashes - 1})) AS s(seed)
     ), sigs AS (
       SELECT doc_id, seed, MIN(h) AS mh FROM hashes GROUP BY doc_id, seed
     ), bands AS (
-      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+      SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band,
              md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
-      FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
+      FROM sigs GROUP BY doc_id, CAST(seed // {rows_per_band} AS INT)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
@@ -362,7 +368,43 @@ def incremental_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM truth t
     LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
     GROUP BY t.j_bucket
-    """,
+    """
+    )
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
+        sh = word_shingles(docs, "doc_id", "text", n=3)
+        pc = jaccard_pairs(sh, "doc_id", threshold=0.0, with_counts=True)
+        truth = pc.select(
+            "a_id",
+            "b_id",
+            F.expr("CAST((10 * common) DIV union_sz AS INT)").alias("j_bucket"),
+        ).filter(F.col("j_bucket") >= 1)
+        sigs = minhash_signatures(sh, "doc_id", n_hashes=n_hashes)
+        cand = lsh_candidates(
+            lsh_band_keys(sigs, "doc_id", rows_per_band=rows_per_band), "doc_id"
+        ).withColumn("hit", F.lit(1))
+        return (
+            truth.join(cand, ["a_id", "b_id"], "left")
+            .groupBy("j_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.count("hit").alias("n_caught"),
+                F.round(F.count("hit") / F.count(F.lit(1)) + F.lit(5e-10), 4).alias(
+                    "recall"
+                ),
+            )
+            .withColumn("sample_den", F.lit(den).cast("int"))
+        )
+
+    build.__name__ = f"{name}_q"
+    register(name, sql, doc=doc)(build)
+
+
+_register_recall(
+    "lsh_dedup_recall",
+    n_hashes=8,
+    rows_per_band=2,
     doc="Dedup-recall harness: the EMPIRICAL banding s-curve. Ground "
     "truth = exact trigram-Jaccard pairs on the row-budget uniform "
     "doc sample (same _JACCARD_DOC_BUDGET literal as the baselines, "
@@ -378,31 +420,22 @@ def incremental_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the bounded sample, so the harness stays sf0.1-priced at any "
     "corpus size — the way recall is audited on a 100 TB run.",
 )
-def lsh_dedup_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
-    sh = word_shingles(docs, "doc_id", "text", n=3)
-    pc = jaccard_pairs(sh, "doc_id", threshold=0.0, with_counts=True)
-    truth = pc.select(
-        "a_id",
-        "b_id",
-        F.expr("CAST((10 * common) DIV union_sz AS INT)").alias("j_bucket"),
-    ).filter(F.col("j_bucket") >= 1)
-    sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
-    cand = lsh_candidates(
-        lsh_band_keys(sigs, "doc_id", rows_per_band=2), "doc_id"
-    ).withColumn("hit", F.lit(1))
-    return (
-        truth.join(cand, ["a_id", "b_id"], "left")
-        .groupBy("j_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.count("hit").alias("n_caught"),
-            F.round(F.count("hit") / F.count(F.lit(1)) + F.lit(5e-10), 4).alias(
-                "recall"
-            ),
-        )
-        .withColumn("sample_den", F.lit(den).cast("int"))
-    )
+
+_register_recall(
+    "lsh_dedup_recall_wide",
+    n_hashes=16,
+    rows_per_band=2,
+    doc="SECOND measured point of the recall→sizing loop: the exact "
+    "parameterization pipeline.ingest_increment.size_lsh_params "
+    "returns for --target-s50 0.35 (b=8 bands x r=2 rows -> s50 = "
+    "(1/8)^(1/2) ~ 0.354), validated against the same exact-Jaccard "
+    "ground truth as lsh_dedup_recall. Doubling the bands at fixed r "
+    "shifts the s-curve LEFT: mid-decile buckets (3-5) that the "
+    "default (b=4) banding half-misses should approach 1.0 here, at "
+    "2x signature cost and 2x band-store state — the measured "
+    "trade the sizing helper's formula promises (SCALE.md s-curve "
+    "table).",
+)
 
 
 @register(
