@@ -52,6 +52,35 @@ def test_decision_log_legacy_flat_layout_raises(tmp_path):
     _check_decision_log_layout(str(tmp_path / "missing"))
 
 
+def test_decision_log_counting_schema_raises(spark, tmp_path):
+    """A decision log written by the counting-probe era
+    (n_near_candidates) must be rejected too: mixing it with
+    decision-only batches (near_dup) makes parquet schema resolution
+    silently null one column for every reader."""
+    from welearn_datastack_spark.streaming.state_machine import (
+        _check_decision_log_layout,
+    )
+
+    out = tmp_path / "out"
+    legacy = spark.createDataFrame(
+        [(1, None, 2, "near_dup")],
+        "doc_id long, exact_dup_of long, n_near_candidates long, state string",
+    )
+    legacy.coalesce(1).write.parquet(str(out / "batch_id=0"))
+    with pytest.raises(RuntimeError, match="counting-probe schema"):
+        _check_decision_log_layout(str(out))
+    # the current decision schema passes
+    import shutil
+
+    shutil.rmtree(out)
+    current = spark.createDataFrame(
+        [(1, None, True, "near_dup")],
+        "doc_id long, exact_dup_of long, near_dup boolean, state string",
+    )
+    current.coalesce(1).write.parquet(str(out / "batch_id=0"))
+    _check_decision_log_layout(str(out))
+
+
 def test_bucketed_store_params_roundtrip_and_conflict(spark, sf_dir):
     """The bucketed store is self-describing: build persists the LSH
     params as a band-store TBLPROPERTY, probe reads them back, and a

@@ -287,6 +287,23 @@ def _check_decision_log_layout(out_dir: str) -> None:
             "into a batch_id=-1 subdirectory (they stay readable as one "
             "legacy batch), or point the stream at a fresh out_dir."
         )
+    # same hazard, schema axis: batches written by the counting-probe
+    # era carry n_near_candidates; the decision-only probe writes
+    # near_dup. Mixing them makes spark.read.parquet resolve whichever
+    # footer it samples first and silently null the other column.
+    old_schema = glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet"))
+    for f in old_schema[:1]:
+        import pyarrow.parquet as pq
+
+        if "n_near_candidates" in pq.read_schema(f).names:
+            raise RuntimeError(
+                f"decision log at {out_dir!r} was written by the "
+                "counting-probe schema (n_near_candidates); this stream "
+                "now writes the decision-only schema (near_dup boolean). "
+                "Point the stream at a fresh out_dir, or migrate the old "
+                "batches (SELECT doc_id, exact_dup_of, "
+                "n_near_candidates > 0 AS near_dup, state)."
+            )
 
 
 def stream_ingest_probe(
