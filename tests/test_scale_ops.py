@@ -631,6 +631,36 @@ def test_estimate_models_packing_not_per_file_ceil(spark):
     assert est_big == 32, est_big
 
 
+def test_fan_out_engages_when_row_groups_bound_parallelism(spark, tmp_path):
+    """The r10 sf30 regression shape: a file large enough that the
+    planner cuts MANY byte splits, but holding FEW row groups — the
+    planned partitions are empty shells and effective parallelism is
+    the row-group count. The guard must cap its estimate by row
+    groups and fan out (sq8 read 119 s instead of 24 s at sf30 when
+    a 32-split plan sat on a 3-row-group embeddings file)."""
+    import pyarrow.parquet as pq
+
+    from welearn_datastack_spark.sources.tables import (
+        _total_row_groups,
+        fan_out_for_compute,
+    )
+
+    p = str(tmp_path / "few_groups")
+    # one file, ONE row group, but enough bytes that the per-core
+    # ceiling would cut multiple planned splits at a small task size
+    spark.range(0, 60_000).selectExpr(
+        "id", "sha2(cast(id AS string), 512) AS pad"
+    ).coalesce(1).write.option("parquet.block.size", str(64 << 20)).parquet(p)
+    df = spark.read.parquet(p)
+    files = [f for f in __import__("glob").glob(f"{p}/*.parquet")]
+    assert _total_row_groups(files) <= 2, [
+        pq.ParquetFile(f).metadata.num_row_groups for f in files
+    ]
+    fanned = fan_out_for_compute(df, bytes_per_task=64 << 10)
+    assert fanned is not df, "row-group-bound layout must fan out"
+    assert fanned.rdd.getNumPartitions() > 2
+
+
 def test_fan_out_noop_on_production_multifile_layout(spark, tmp_path):
     """The verdict's production-layout pin: on a multi-split layout
     (a directory of part files — the shape tools/gen_sf.py

@@ -112,11 +112,13 @@ def fan_out_for_compute(df: DataFrame, bytes_per_task: int = 2 << 20) -> DataFra
     deployments where the layout provides splits anyway."""
     try:
         files = df.inputFiles()
+        paths = []
         sizes = []
         for uri in files:
             path = unquote(urlparse(uri).path) if "://" in uri else uri
             if not os.path.exists(path):
                 return df
+            paths.append(path)
             sizes.append(os.path.getsize(path))
         if not sizes:
             return df
@@ -129,12 +131,38 @@ def fan_out_for_compute(df: DataFrame, bytes_per_task: int = 2 << 20) -> DataFra
         )
         par = spark.sparkContext.defaultParallelism
         est_scan = _estimate_scan_partitions(sizes, max_partition, open_cost, par)
+        # planned partitions are only POTENTIAL parallelism: a parquet
+        # row group is indivisible, so a file with few (huge) row
+        # groups feeds work to few tasks no matter how many byte
+        # splits the planner cuts — the exact layout that serialized
+        # sq8 at sf10 (single-row-group toy files) and again at sf30
+        # (3-row-group embeddings under a 32-split plan; caught by the
+        # r10 re-stamp). Cap the estimate by the row-group count —
+        # driver-side footer reads, skipped for many-file layouts
+        # where the file count alone already provides the splits.
+        if len(paths) <= 128:
+            est_scan = min(est_scan, max(1, _total_row_groups(paths)))
         target = min(par, math.ceil(sum(sizes) / bytes_per_task))
         if target <= est_scan:
             return df
         return df.repartition(target)
     except Exception:  # pragma: no cover — metadata probe must never break a plan
         return df
+
+
+def _total_row_groups(paths: list[str]) -> int:
+    """Total parquet row groups across ``paths`` (footer metadata
+    only) — the hard ceiling on effective scan parallelism, since a
+    row group can never split across tasks."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        try:
+            total += pq.ParquetFile(p).metadata.num_row_groups
+        except Exception:  # non-parquet / unreadable — assume splittable
+            total += 1
+    return total
 
 
 def _estimate_scan_partitions(
