@@ -107,9 +107,16 @@ def fan_out_for_compute(df: DataFrame, bytes_per_task: int = 2 << 20) -> DataFra
     bound: Spark packs many small files into few partitions, so a
     Σ ceil(size/maxPartitionBytes) estimate would overestimate on
     exactly the fragmented small-files layout the guard exists to
-    fix, and no-op it back onto few cores. Files not visible from the
-    driver (remote FS) fall back to the no-op — exactly the
-    deployments where the layout provides splits anyway."""
+    fix, and no-op it back onto few cores. The packed estimate is
+    then CAPPED by the total parquet row-group count (footer
+    metadata): planned byte splits over few huge row groups are empty
+    shells — a row group never splits across tasks, so effective
+    parallelism is min(planned, row groups). Measured consequences of
+    getting either half wrong: sq8 171 s at sf10 (round 9, planned=1
+    hid the single-task scan) and 119 s at sf30 (round 10, planned=32
+    over 3 row groups skipped the rescue repartition). Files not
+    visible from the driver (remote FS) fall back to the no-op —
+    exactly the deployments where the layout provides splits anyway."""
     try:
         files = df.inputFiles()
         paths = []
