@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import re
 import statistics
 import sys
@@ -120,6 +121,7 @@ HEADLINE = [
     "dedup_clusters",
     "lsh_dedup_recall",
     "lsh_dedup_recall_wide",
+    "lsh_recall_corpus_midband",
     "dsir_importance_weights",
     "bpe_pair_merge",
     "bpe_merge_3rounds",
@@ -157,8 +159,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     _load_groups()
     spark = get_spark("welearn-bench")
-    # warm the JVM + parquet footers so per-query times measure the plan
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm the JVM + parquet footers so per-query times measure the
+    # plan; slim-family decade dirs (gen_sf.py --tables) may lack
+    # lineitem, so fall back to any table that exists
+    for warm_table in ("lineitem", "documents", "events", "region"):
+        if os.path.exists(f"{sf_dir}/{warm_table}.parquet"):
+            spark.read.parquet(f"{sf_dir}/{warm_table}.parquet").count()
+            break
 
     # VARIANCE PROTOCOL (round 6 — cross-round deltas were noise-
     # polluted two rounds running, with untouched queries drifting
@@ -194,41 +201,74 @@ def main() -> None:
     subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
     subset = [q.strip() for q in subset_env.split(",") if q.strip()]
     headline = subset or HEADLINE
+    # QUERY-ORDER SHUFFLE (round 11): with a fixed query order, every
+    # marathon biases the SAME tail queries — session-state inflation
+    # (SCALE.md §21.7: wall inflates at byte-identical shuffle totals,
+    # isolated re-runs restore it) hit hal/open_alex/readability at
+    # sf3 and lsh_ann/span_removal at sf10 purely because they run
+    # late. The loop is therefore RUN-MAJOR: each pass executes every
+    # query once, in an order shuffled with a fixed per-run seed
+    # (random.Random(run_i)), so across the warm passes each query
+    # samples different session positions and min-of-warm averages the
+    # position effect out instead of baking it in. Deterministic given
+    # run count — reproducible across rounds. SPARK_GRAFT_BENCH_SHUFFLE=0
+    # restores the legacy fixed order (A/B evidence).
+    # Codegen note: interleaving ~90 plans per pass would thrash
+    # Spark's default 100-entry codegen cache and turn "warm" runs
+    # into Janino recompiles; get_spark() raises
+    # spark.sql.codegen.cache.maxEntries to 4096 for exactly this.
+    shuffle_order = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "1") != "0"
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    warm_by_query: dict[str, list[float]] = {}
+    positions: dict[str, list[int]] = {}
     bytes_by_query: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
+    failed: set[str] = set()
     cold_total = 0.0
     load_before = os.getloadavg()[0]
     for name in headline:
-        spec = REGISTRY.get(name)
-        if spec is None:
+        if REGISTRY.get(name) is None:
             errors[name] = "not registered"
-            continue
-        warm: list[float] = []
-        try:
-            for i in range(n_runs):
-                before = _stage_totals(spark) if i == 1 else None
+            failed.add(name)
+    for run_i in range(n_runs):
+        order = list(headline)
+        if shuffle_order:
+            random.Random(run_i).shuffle(order)
+        for pos, name in enumerate(order):
+            if name in failed:
+                continue
+            spec = REGISTRY[name]
+            # per-query failure isolation: one broken query must never
+            # erase the whole performance signal (round-3 postmortem)
+            try:
+                before = _stage_totals(spark) if run_i == 1 else None
                 t0 = time.time()
                 spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                if i == 0:
+                if run_i == 0:
                     cold_total += dt
                 else:
-                    warm.append(dt)
-                if i == 1 and before is not None:
+                    warm_by_query.setdefault(name, []).append(dt)
+                positions.setdefault(name, []).append(pos)
+                if run_i == 1 and before is not None:
                     after = _stage_totals(spark)
                     if after is not None:
                         bytes_by_query[name] = {
                             k: after[k] - before[k] for k in before
                         }
-            med = statistics.median(warm)
-            times[name] = round(min(warm), 3)
-            medians[name] = round(med, 3)
-            spreads[name] = round((max(warm) - min(warm)) / med, 3) if med > 0 else 0.0
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                failed.add(name)
+                warm_by_query.pop(name, None)
+    for name, warm in warm_by_query.items():
+        if not warm:
+            continue
+        med = statistics.median(warm)
+        times[name] = round(min(warm), 3)
+        medians[name] = round(med, 3)
+        spreads[name] = round((max(warm) - min(warm)) / med, 3) if med > 0 else 0.0
     total = round(sum(times.values()), 3)
     # 'not measured' must stay distinguishable from 'zero bytes': when
     # the status API was unavailable for every query (UI pinned off,
@@ -250,11 +290,14 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "sf_dir": sf_dir,
         "runs": n_runs,
         "stat": f"min-of-{n_runs - 1}-warm",
+        "order_shuffle": shuffle_order,
         "median_total_sec": round(sum(medians.values()), 3),
         "queries_median": medians,
         "queries_rel_spread": spreads,
+        "queries_position": positions,
         "queries_shuffle": bytes_by_query,
         "cold_total_sec": round(cold_total, 3),
         "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
@@ -264,7 +307,11 @@ def main() -> None:
     artifact_dir = Path(__file__).resolve().parent / "bench_runs"
     artifact_dir.mkdir(exist_ok=True)
     stem = "subset" if subset else "latest"
-    artifact = artifact_dir / f"{stem}_sf{sf}.json"
+    # SPARK_GRAFT_BENCH_ARTIFACT redirects the artifact (used by the
+    # adjudication pass in tools/audit_scaling.py so its isolated
+    # re-runs never clobber the canonical subset_sf{sf}.json series)
+    override = os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT", "")
+    artifact = Path(override) if override else artifact_dir / f"{stem}_sf{sf}.json"
     artifact.write_text(json.dumps(detail, indent=1))
 
     # COMPACT final line — must stay well under the driver's ~2000-char
@@ -283,7 +330,11 @@ def main() -> None:
         "shuffle_read_mb": shuffle_read_mb,
         "shuffle_write_mb": shuffle_write_mb,
         "loadavg_1m": detail["loadavg_1m"],
-        "artifact": str(artifact.relative_to(artifact_dir.parent)),
+        "artifact": (
+            str(artifact.relative_to(artifact_dir.parent))
+            if artifact.is_relative_to(artifact_dir.parent)
+            else str(artifact)
+        ),
     }
     print(json.dumps(summary))
 

@@ -231,6 +231,13 @@ _EXCHANGE_BUDGET = {
     # keys are ids or narrow hashes on the row-budget sample
     "lsh_dedup_recall": 12,
     "lsh_dedup_recall_wide": 12,  # same plan at (b=8, r=2) sizing
+    # returned plan reads the two PINNED frames (prs splice pipeline +
+    # shared 16-perm signatures, both localCheckpointed — bounded by
+    # the row budget): two band aggs, two pair-scoped left_semi
+    # existence joins (never all-pairs candidates), the two left
+    # joins, and the decile rollup; growth means a banding leg
+    # started rescanning or re-pairing
+    "lsh_recall_corpus_midband": 12,
     # gram pipeline evaluated twice (learn the 64-bucket dist, then
     # score): 2 (doc,bucket) aggs + the bucket dist agg + final
     # per-doc agg; the model side returns as two broadcasts + one

@@ -18,10 +18,20 @@ from ..sources.tables import TABLES
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        # gen_sf.py --files-per-table writes <name>.parquet as a
+        # DIRECTORY of part files (Spark-style layout); DuckDB's
+        # read_parquet errors with "No files found" on a bare
+        # directory path, so glob its members instead — this keeps
+        # the correctness gate runnable against multi-file datasets.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

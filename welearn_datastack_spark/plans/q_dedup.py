@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_dup_flags,
     hashed_shingles,
+    hexint,
     jaccard_pairs,
     lsh_band_keys,
     lsh_candidates,
@@ -436,6 +437,258 @@ _register_recall(
     "trade the sizing helper's formula promises (SCALE.md s-curve "
     "table).",
 )
+
+
+def _midband_band_chain(suffix: str, n_hashes: int, rows_per_band: int) -> str:
+    """DuckDB minhash→band→pair-scoped-existence chain over the shared
+    ``base`` CTE (same hash formula as ``_register_recall``), suffixed
+    so two parameterizations coexist in one statement. The last CTE is
+    an EXISTENCE check per prescribed pair (v_id = a_id + 1e12), NOT
+    all-pairs candidate generation — the pairs are known up front, so
+    generating every within-bucket pair (quadratic per hot bucket)
+    would pay for answers nobody asked (the decision-probe lesson,
+    §21.4: measured 19 s → ~1 s at sf0.1)."""
+    return f"""
+    hashes{suffix} AS (
+      SELECT id, seed,
+             ((2 * seed + 1) * h31 + 7919 * (seed + 1)) % 2147483647 AS h
+      FROM base, unnest(generate_series(0, {n_hashes - 1})) AS s{suffix}(seed)
+    ), sigs{suffix} AS (
+      SELECT id, seed, MIN(h) AS mh FROM hashes{suffix} GROUP BY id, seed
+    ), bands{suffix} AS (
+      SELECT id, CAST(seed // {rows_per_band} AS INT) AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
+      FROM sigs{suffix} GROUP BY id, CAST(seed // {rows_per_band} AS INT)
+    ), caught{suffix} AS (
+      SELECT DISTINCT ba.id AS a_id
+      FROM bands{suffix} ba JOIN bands{suffix} bv
+        ON bv.id = ba.id + 1000000000000
+       AND bv.band = ba.band AND bv.band_key = ba.band_key
+    )"""
+
+
+_MIDBAND_ORACLE = (
+    "WITH "
+    + _JACCARD_DEN_CTE
+    + f"""
+, sdocs AS (
+  SELECT doc_id, text FROM documents, den
+  WHERE {_HEXINT.format(x="CAST(doc_id AS VARCHAR)")} % den.d = 0
+), toks AS (
+  SELECT * FROM (
+    SELECT doc_id, {_HEXINT.format(x="CAST(doc_id AS VARCHAR)")} AS hx,
+           regexp_extract_all(lower(text), '\\w+') AS t
+    FROM sdocs
+  ) WHERE len(t) >= 20
+), reps AS (
+  SELECT hx % 16 AS pb, MIN(doc_id) AS rep_id FROM toks GROUP BY hx % 16
+), pairs0 AS (
+  SELECT a.doc_id AS a_id, a.t AS ta, rt.t AS tr,
+         400 + 75 * CAST(a.hx % 5 AS BIGINT) AS frac_pm
+  FROM toks a
+  JOIN reps r ON a.hx % 16 = r.pb AND a.doc_id != r.rep_id
+  JOIN toks rt ON rt.doc_id = r.rep_id
+), spliced AS (
+  SELECT a_id, ta, ta[1:CAST(k AS INT)] || tr[CAST(k + 1 AS INT):len(tr)] AS tv
+  FROM (
+    SELECT a_id, ta, tr,
+           GREATEST(3, CAST((len(ta) * frac_pm) // 1000 AS BIGINT)) AS k
+    FROM pairs0
+  ) WHERE len(tr) >= k + 3
+), prs AS (
+  SELECT a_id, a_id + 1000000000000 AS v_id, sha, shv,
+         CAST((10 * len(list_intersect(sha, shv)))
+              // len(list_distinct(sha || shv)) AS INT) AS j_bucket
+  FROM (
+    SELECT a_id,
+      list_distinct([ta[i] || ' ' || ta[i+1] || ' ' || ta[i+2]
+                     for i in generate_series(1, len(ta) - 2)]) AS sha,
+      list_distinct([tv[i] || ' ' || tv[i+1] || ' ' || tv[i+2]
+                     for i in generate_series(1, len(tv) - 2)]) AS shv
+    FROM spliced
+  )
+), shrows AS (
+  SELECT a_id AS id, s AS shingle FROM prs, unnest(sha) AS u(s)
+  UNION ALL
+  SELECT v_id AS id, s AS shingle FROM prs, unnest(shv) AS u2(s)
+), base AS (
+  SELECT id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM shrows
+), {_midband_band_chain("8", 8, 2)}, {_midband_band_chain("16", 16, 2)}
+SELECT m.j_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(COUNT(c8.a_id) AS BIGINT) AS caught_default,
+       CAST(COUNT(c16.a_id) AS BIGINT) AS caught_wide,
+       ROUND(COUNT(c8.a_id) / COUNT(*) + 5e-10, 4) AS recall_default,
+       ROUND(COUNT(c16.a_id) / COUNT(*) + 5e-10, 4) AS recall_wide,
+       (SELECT CAST(d AS INT) FROM den) AS sample_den
+FROM (SELECT * FROM prs WHERE j_bucket BETWEEN 2 AND 7) m
+LEFT JOIN caught8 c8 ON c8.a_id = m.a_id
+LEFT JOIN caught16 c16 ON c16.a_id = m.a_id
+GROUP BY m.j_bucket
+"""
+)
+
+
+@register(
+    "lsh_recall_corpus_midband",
+    _MIDBAND_ORACLE,
+    doc="Corpus-derived MID-BAND recall (round 11, closing SCALE.md "
+    "§21.3's constructed-pair gap): the driver corpora hold ZERO "
+    "exact-Jaccard pairs in deciles 2-7 (measured exhaustively on the "
+    "FULL sf0.1/sf0.01 corpora — polarized near-dup structure), so "
+    "mid-band pairs are DERIVED from corpus text: each row-budget-"
+    "sampled doc is spliced with its deterministic partner (bucket "
+    "representative by hexint(doc_id) % 16) at an integer per-mille "
+    "mix fraction 400+75*(hexint%5), and every pair's TRUE trigram "
+    "Jaccard is then measured exactly (array_intersect/union — no "
+    "assumed similarity, unlike constructed word soup). Output: per "
+    "mid decile (2-7), pair count and the recall of BOTH production "
+    "bandings — default (8 perms, 4x2) vs wide (16 perms, 8x2) — so "
+    "the s-curve table's mid buckets carry corpus-grounded numbers. "
+    "Scale: the row budget prices this at sf0.1 forever; every join "
+    "is bucket-local on bounded keys.",
+)
+def lsh_recall_corpus_midband_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
+    hx = hexint(F.col("doc_id").cast("string"))
+    toks = docs.select(
+        "doc_id",
+        hx.alias("hx"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0).alias("t"),
+    ).filter(F.size("t") >= 20)
+    reps = toks.groupBy((F.col("hx") % 16).alias("pb")).agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    rep_toks = toks.select(F.col("doc_id").alias("rep_id"), F.col("t").alias("tr"))
+    pairs0 = (
+        toks.join(
+            reps,
+            (toks["hx"] % 16 == reps["pb"]) & (toks["doc_id"] != reps["rep_id"]),
+        )
+        .join(rep_toks, "rep_id")
+        .select(
+            F.col("doc_id").alias("a_id"),
+            F.col("t").alias("ta"),
+            "tr",
+            (F.lit(400) + F.lit(75) * (F.col("hx") % 5)).alias("frac_pm"),
+        )
+    )
+    spliced = (
+        pairs0.withColumn(
+            "k",
+            F.greatest(
+                F.lit(3).cast("bigint"),
+                F.expr("CAST((size(ta) * frac_pm) DIV 1000 AS BIGINT)"),
+            ),
+        )
+        .filter(F.expr("size(tr) >= k + 3"))
+        # TOTAL expressions below the filter (greatest(0, ·) on the
+        # slice length; when-guards on the shingle transforms):
+        # InferFiltersFromGenerate copies size(<expr>)>0 from the
+        # downstream explode into a filter that predicate pushdown can
+        # evaluate BEFORE the length filter — under ANSI, a partial
+        # slice/sequence then throws on rows the filter would have
+        # dropped (same hazard word_shingles documents).
+        .select(
+            "a_id",
+            "ta",
+            F.expr(
+                "concat(slice(ta, 1, CAST(k AS INT)), "
+                "slice(tr, CAST(k + 1 AS INT), "
+                "greatest(0, size(tr) - CAST(k AS INT))))"
+            ).alias("tv"),
+        )
+    )
+
+    def sh_arr(col: str):
+        return F.expr(
+            f"array_distinct(CASE WHEN size({col}) >= 3 THEN "
+            f"transform(sequence(1, size({col}) - 2), "
+            f"i -> concat_ws(' ', element_at({col}, i), "
+            f"element_at({col}, i + 1), element_at({col}, i + 2))) "
+            f"ELSE CAST(array() AS array<string>) END)"
+        )
+
+    prs = spliced.select(
+        "a_id",
+        (F.col("a_id") + F.lit(1000000000000)).alias("v_id"),
+        sh_arr("ta").alias("sha"),
+        sh_arr("tv").alias("shv"),
+    ).withColumn(
+        "j_bucket",
+        # greatest(1, ·): ANSI-total guard for pushdown-reordered
+        # evaluation on pre-filter rows; every surviving row has
+        # union >= 18, so the twin's unguarded division agrees
+        F.expr(
+            "CAST((10 * size(array_intersect(sha, shv))) "
+            "DIV greatest(1, size(array_union(sha, shv))) AS INT)"
+        ),
+    )
+    # pin the splice pipeline ONCE: prs feeds three consumers (the
+    # truth rollup and both banding legs), and without the pin each
+    # consumer re-evaluates the full toks-join/splice/shingle subtree
+    # (measured 3x ≈ 19 s at sf0.1 → ~4 s pinned). Bounded by the row
+    # budget (≤ _JACCARD_DOC_BUDGET pairs), so the checkpoint is a
+    # few MB at any corpus size — same pattern as bpe_merge_3rounds'
+    # vocab pin.
+    prs = prs.localCheckpoint(eager=True)
+    # ONE pass over prs for the shingle rows (a nested explode, not a
+    # unionAll of two scans of the subtree)
+    shrows = prs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("id"), F.col("sha").alias("sh")),
+                F.struct(F.col("v_id").alias("id"), F.col("shv").alias("sh")),
+            )
+        ).alias("e")
+    ).select(F.col("e.id").alias("id"), F.explode("e.sh").alias("shingle"))
+
+    # ONE signature pipeline: _mh_params(seed) depends only on the
+    # seed, so the default (8-perm) signature set is exactly the
+    # seed<8 subset of the 16-perm one — the shingle pass and the
+    # signature agg run once; both banding legs read the PINNED
+    # signatures (two consumers again)
+    sigs16 = minhash_signatures(shrows, "id", n_hashes=16).localCheckpoint(eager=True)
+
+    def caught(sigs: DataFrame, flag: str) -> DataFrame:
+        # pair-scoped EXISTENCE (left_semi on the pair's own band
+        # keys), NOT all-pairs candidate generation: the pairs are
+        # prescribed (v_id = a_id + 1e12), so generating every
+        # within-bucket pair would be quadratic per hot bucket for
+        # answers nobody asked — the §21.4 decision-probe lesson
+        # (measured 19 s → ~1 s at sf0.1 on this very query)
+        bands = lsh_band_keys(sigs, "id", rows_per_band=2)
+        ba = bands.filter(F.col("id") < 1000000000000)
+        bv = bands.filter(F.col("id") >= 1000000000000).select(
+            (F.col("id") - 1000000000000).alias("id"), "band", "band_key"
+        )
+        return (
+            ba.join(bv, ["id", "band", "band_key"], "left_semi")
+            .select(F.col("id").alias("ca"))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    c8 = caught(sigs16.filter(F.col("seed") < 8), "hit8")
+    c16 = caught(sigs16, "hit16")
+    mid = prs.filter(F.col("j_bucket").between(2, 7)).select("a_id", "v_id", "j_bucket")
+    return (
+        mid.join(c8, mid["a_id"] == c8["ca"], "left")
+        .join(c16, mid["a_id"] == c16["ca"], "left")
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit8").alias("caught_default"),
+            F.count("hit16").alias("caught_wide"),
+            F.round(F.count("hit8") / F.count(F.lit(1)) + F.lit(5e-10), 4).alias(
+                "recall_default"
+            ),
+            F.round(F.count("hit16") / F.count(F.lit(1)) + F.lit(5e-10), 4).alias(
+                "recall_wide"
+            ),
+        )
+        .withColumn("sample_den", F.lit(den).cast("int"))
+    )
 
 
 @register(

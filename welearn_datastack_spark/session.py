@@ -95,5 +95,39 @@ def get_spark(app_name: str = "welearn-spark", shuffle_partitions: int | None = 
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.retainedStages", "500000")
         .config("spark.ui.retainedJobs", "500000")
+        # static conf; default 100 entries. bench.py interleaves ~90
+        # query plans per warm pass (seeded order shuffle), which
+        # would evict and recompile every whole-stage-codegen unit
+        # between a query's runs at the default size — warm runs must
+        # measure the plan, not Janino.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_bounded_window_warnings(spark)
+    return spark
+
+
+def _silence_bounded_window_warnings(spark: SparkSession) -> None:
+    """Drop the WindowExec logger to ERROR.
+
+    Every guarded bounded window (``_ranged_prefix`` /
+    ``_bounded_row_guard`` frames over LIMIT-capped inputs) triggers
+    Spark's "No Partition Defined for Window operation" warning once
+    per execution. The single-partition plan is BY DESIGN there — a
+    runtime guard raises if the frame ever exceeds its row ceiling —
+    so the warning is pure noise that floods the bench tail (the
+    driver keeps only the last ~2000 stdout chars, where the compact
+    JSON line must survive). Genuine unbounded-window mistakes are
+    still caught: the exchange-budget plan pins in tests/test_plans.py
+    flag any new single-partition window that is not behind a guard."""
+    try:
+        jvm = spark._jvm
+        for name in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowGroupLimitExec",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                name, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+    except Exception:
+        pass  # non-log4j2 deployment — cosmetic only, never break startup

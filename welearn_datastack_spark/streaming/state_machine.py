@@ -291,8 +291,19 @@ def _check_decision_log_layout(out_dir: str) -> None:
     # era carry n_near_candidates; the decision-only probe writes
     # near_dup. Mixing them makes spark.read.parquet resolve whichever
     # footer it samples first and silently null the other column.
-    old_schema = glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet"))
-    for f in old_schema[:1]:
+    # one file PER batch subdirectory, not one arbitrary glob hit: a
+    # partially-migrated log mixing counting-era and decision-era
+    # batches would pass a single-sample guard whenever the sampled
+    # file happened to be new-schema — exactly the silent-null mix
+    # the guard exists to reject. Footer reads are cheap and the
+    # batch count is bounded by ingest cadence, so one per batch is
+    # an acceptable driver-side cost.
+    sample_per_batch = []
+    for batch_dir in sorted(glob.glob(os.path.join(out_dir, "batch_id=*"))):
+        batch_files = sorted(glob.glob(os.path.join(batch_dir, "*.parquet")))
+        if batch_files:
+            sample_per_batch.append(batch_files[0])
+    for f in sample_per_batch:
         import pyarrow.parquet as pq
 
         if "n_near_candidates" in pq.read_schema(f).names:
