@@ -218,9 +218,6 @@ def main() -> None:
     # into Janino recompiles; get_spark() raises
     # spark.sql.codegen.cache.maxEntries to 4096 for exactly this.
     shuffle_order = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "1") != "0"
-    times: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    spreads: dict[str, float] = {}
     warm_by_query: dict[str, list[float]] = {}
     positions: dict[str, list[int]] = {}
     bytes_by_query: dict[str, dict[str, int]] = {}
@@ -232,6 +229,61 @@ def main() -> None:
         if REGISTRY.get(name) is None:
             errors[name] = "not registered"
             failed.add(name)
+    artifact_dir = Path(__file__).resolve().parent / "bench_runs"
+    artifact_dir.mkdir(exist_ok=True)
+    stem = "subset" if subset else "latest"
+    # SPARK_GRAFT_BENCH_ARTIFACT redirects the artifact (used by the
+    # adjudication pass in tools/audit_scaling.py so its isolated
+    # re-runs never clobber the canonical subset_sf{sf}.json series)
+    override = os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT", "")
+    artifact = Path(override) if override else artifact_dir / f"{stem}_sf{sf}.json"
+
+    def _write_artifact(passes_done: int) -> dict:
+        p_times, p_med, p_spread = {}, {}, {}
+        for name, warm in warm_by_query.items():
+            if not warm:
+                continue
+            med = statistics.median(warm)
+            p_times[name] = round(min(warm), 3)
+            p_med[name] = round(med, 3)
+            p_spread[name] = (
+                round((max(warm) - min(warm)) / med, 3) if med > 0 else 0.0
+            )
+        if bytes_by_query:
+            rd = round(
+                sum(b["shuffle_read_bytes"] for b in bytes_by_query.values()) / 1e6, 1
+            )
+            wr = round(
+                sum(b["shuffle_write_bytes"] for b in bytes_by_query.values()) / 1e6, 1
+            )
+        else:
+            rd = wr = None
+        detail = {
+            "metric": "headline_queries_total",
+            "value": round(sum(p_times.values()), 3),
+            "unit": "sec",
+            "queries": p_times,
+            "sf": sf,
+            "sf_dir": sf_dir,
+            "runs": n_runs,
+            "passes_done": passes_done,
+            "stat": f"min-of-{passes_done - 1}-warm",
+            "order_shuffle": shuffle_order,
+            "median_total_sec": round(sum(p_med.values()), 3),
+            "queries_median": p_med,
+            "queries_rel_spread": p_spread,
+            "queries_position": positions,
+            "queries_shuffle": bytes_by_query,
+            "shuffle_read_mb": rd,
+            "shuffle_write_mb": wr,
+            "cold_total_sec": round(cold_total, 3),
+            "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
+        }
+        if errors:
+            detail["errors"] = errors
+        artifact.write_text(json.dumps(detail, indent=1))
+        return detail
+
     for run_i in range(n_runs):
         order = list(headline)
         if shuffle_order:
@@ -262,57 +314,17 @@ def main() -> None:
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 failed.add(name)
                 warm_by_query.pop(name, None)
-    for name, warm in warm_by_query.items():
-        if not warm:
-            continue
-        med = statistics.median(warm)
-        times[name] = round(min(warm), 3)
-        medians[name] = round(med, 3)
-        spreads[name] = round((max(warm) - min(warm)) / med, 3) if med > 0 else 0.0
-    total = round(sum(times.values()), 3)
-    # 'not measured' must stay distinguishable from 'zero bytes': when
-    # the status API was unavailable for every query (UI pinned off,
-    # or every _stage_totals probe failed) emit null, not 0.0 — the
-    # SCALE.md byte-ratio audits treat these totals as evidence.
-    if bytes_by_query:
-        shuffle_read_mb = round(
-            sum(b["shuffle_read_bytes"] for b in bytes_by_query.values()) / 1e6, 1
-        )
-        shuffle_write_mb = round(
-            sum(b["shuffle_write_bytes"] for b in bytes_by_query.values()) / 1e6, 1
-        )
-    else:
-        shuffle_read_mb = shuffle_write_mb = None
-
-    detail = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-        "sf_dir": sf_dir,
-        "runs": n_runs,
-        "stat": f"min-of-{n_runs - 1}-warm",
-        "order_shuffle": shuffle_order,
-        "median_total_sec": round(sum(medians.values()), 3),
-        "queries_median": medians,
-        "queries_rel_spread": spreads,
-        "queries_position": positions,
-        "queries_shuffle": bytes_by_query,
-        "cold_total_sec": round(cold_total, 3),
-        "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
-    }
-    if errors:
-        detail["errors"] = errors
-    artifact_dir = Path(__file__).resolve().parent / "bench_runs"
-    artifact_dir.mkdir(exist_ok=True)
-    stem = "subset" if subset else "latest"
-    # SPARK_GRAFT_BENCH_ARTIFACT redirects the artifact (used by the
-    # adjudication pass in tools/audit_scaling.py so its isolated
-    # re-runs never clobber the canonical subset_sf{sf}.json series)
-    override = os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT", "")
-    artifact = Path(override) if override else artifact_dir / f"{stem}_sf{sf}.json"
-    artifact.write_text(json.dumps(detail, indent=1))
+            _write_artifact(passes_done=run_i + 1)
+        # flush a partial artifact after EVERY completed query/pass: a
+        # marathon killed by a wall-clock cap keeps its finished
+        # passes (the sf100 slim stamp died at minute 98 of 3 passes
+        # with nothing on disk — never again). The final write below
+        # overwrites this with passes_done == runs.
+        _write_artifact(passes_done=run_i + 1)
+    detail = _write_artifact(passes_done=n_runs)
+    total = detail["value"]
+    shuffle_read_mb = detail["shuffle_read_mb"]
+    shuffle_write_mb = detail["shuffle_write_mb"]
 
     # COMPACT final line — must stay well under the driver's ~2000-char
     # tail capture (per-query detail lives in the artifact only)
@@ -321,7 +333,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "n_queries": len(times),
+        "n_queries": len(detail["queries"]),
         "runs": n_runs,
         "stat": f"min-of-{n_runs - 1}-warm",
         "median_total_sec": detail["median_total_sec"],
