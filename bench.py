@@ -34,6 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # already pinned it)
 os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
+from welearn_datastack_spark.operators.dedup import PairVolumeExceeded
 from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
 from welearn_datastack_spark.session import get_spark
 
@@ -222,6 +223,7 @@ def main() -> None:
     positions: dict[str, list[int]] = {}
     bytes_by_query: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
+    guard_exits: dict[str, str] = {}
     failed: set[str] = set()
     cold_total = 0.0
     load_before = os.getloadavg()[0]
@@ -281,6 +283,14 @@ def main() -> None:
         }
         if errors:
             detail["errors"] = errors
+        if guard_exits:
+            # pre-flight volume-guard verdicts (PairVolumeExceeded):
+            # the query declined to run with a measured projection —
+            # a recorded DECISION, not an error (round-11 sf100: the
+            # unguarded form burned 98 min then died on disk; the
+            # guarded form exits in seconds and the artifact carries
+            # the projection instead of a Py4J stack trace)
+            detail["guard_exits"] = guard_exits
         artifact.write_text(json.dumps(detail, indent=1))
         return detail
 
@@ -310,10 +320,25 @@ def main() -> None:
                         bytes_by_query[name] = {
                             k: after[k] - before[k] for k in before
                         }
+                # compact per-query stdout line: with console progress
+                # bars off (session.py), these are what the driver's
+                # ~2000-char tail shows — query names + times instead
+                # of carriage-return progress frames
+                print(f"[p{run_i}] {name} {dt:.2f}s", flush=True)
+            except PairVolumeExceeded as e:
+                guard_exits[name] = str(e)[:500]
+                failed.add(name)
+                print(f"[p{run_i}] {name} GUARD-EXIT: {e}"[:200], flush=True)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 failed.add(name)
-                warm_by_query.pop(name, None)
+                # keep any warm samples already collected — a transient
+                # failure on a LATE pass must not erase real timing
+                # signal (the error is recorded alongside, and the
+                # partial sample count is visible as len(queries_rel_
+                # spread) vs runs); bytes/cold stay counted for the
+                # same reason.
+                print(f"[p{run_i}] {name} ERROR: {e}"[:200], flush=True)
             _write_artifact(passes_done=run_i + 1)
         # flush a partial artifact after EVERY completed query/pass: a
         # marathon killed by a wall-clock cap keeps its finished
@@ -339,6 +364,7 @@ def main() -> None:
         "median_total_sec": detail["median_total_sec"],
         "cold_total_sec": detail["cold_total_sec"],
         "errors_n": len(errors),
+        "guard_exits_n": len(guard_exits),
         "shuffle_read_mb": shuffle_read_mb,
         "shuffle_write_mb": shuffle_write_mb,
         "loadavg_1m": detail["loadavg_1m"],

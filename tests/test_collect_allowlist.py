@@ -21,6 +21,12 @@ _PAT = re.compile(r"\.(collect|first|toPandas|toLocalIterator)\(\)")
 # file (relative to the package) -> (allowed site count, why each is bounded)
 ALLOWED = {
     "jobs.py": (1, "final CLI report: per-state counts, <= 3 rows"),
+    "operators/dedup.py": (
+        1,
+        "pair_volume_guard's 1-row Σ C(bucket,2) projection — the "
+        "pre-flight disk-budget probe is a double aggregation to one "
+        "scalar, never pair rows",
+    ),
     "operators/compaction.py": (
         2,
         "per-file listing agg of the compacted dir (file count, not rows) + "

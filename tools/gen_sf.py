@@ -54,6 +54,49 @@ DAY_US = 86_400_000_000  # microseconds per day
 N_FILES = 1  # module knob, set by --files-per-table
 ROW_GROUP_ROWS = 256 * 1024  # module knob, set by --row-group-rows
 TABLES_WANTED: set[str] | None = None  # module knob, set by --tables
+VOCAB_SIZE = 0  # module knob, set by --vocab-size (0 = legacy 31-word list)
+ZIPF_S = 1.07  # module knob, set by --zipf-s
+
+
+def _synth_vocab(n: int) -> np.ndarray:
+    """n distinct tokens ordered by rank: 'a'..'z', 'aa', 'ab', ... —
+    short tokens get the high zipf ranks, mimicking natural text where
+    the most frequent words are the shortest."""
+    toks: list[str] = []
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    width = 1
+    while len(toks) < n:
+        idx = np.arange(26 ** width)
+        for i in idx:
+            if len(toks) >= n:
+                break
+            s, j = "", int(i)
+            for _ in range(width):
+                s = letters[j % 26] + s
+                j //= 26
+            toks.append(s)
+        width += 1
+    return np.array(toks)
+
+
+def _draw_words(rng: np.random.Generator, total: int) -> np.ndarray:
+    """Word tokens for `total` positions. Legacy mode (VOCAB_SIZE=0):
+    uniform over the 31-word list — maximally collision-dense 'word
+    salad', kept as the stress corpus. Realistic mode (--vocab-size N,
+    N ≥ 50k per the round-11 verdict): zipfian draw p(r) ∝ 1/r^s over
+    an N-token vocabulary — the de-confound corpus for the LSH family,
+    whose band-key collision behavior on the legacy corpus is driven
+    by vocabulary collapse rather than near-dup density (SCALE.md
+    §22.6)."""
+    if VOCAB_SIZE <= 0:
+        vocab = np.array(VOCAB)
+        return vocab[rng.integers(0, len(vocab), total)]
+    vocab = _synth_vocab(VOCAB_SIZE)
+    p = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64) ** -ZIPF_S
+    cdf = np.cumsum(p / p.sum())
+    # inverse-CDF via searchsorted: O(total·log V), fast enough for
+    # the 80M+ draws a docs-only sf30 generation needs
+    return vocab[np.searchsorted(cdf, rng.random(total), side="left")]
 
 
 def _want(name: str) -> bool:
@@ -204,11 +247,11 @@ def generate(sf: float, out: str) -> None:
         }))
 
     if _want("documents"):
-        # documents: 30-word vocab salad, 10..100 words, ~0.16% exact dups
-        vocab = np.array(VOCAB)
+        # documents: 10..100 words each, ~0.16% exact dups; word draw
+        # per --vocab-size (legacy 31-word salad vs zipfian realistic)
         n_words = rng.integers(10, 101, n_doc)
         starts = np.concatenate([[0], np.cumsum(n_words)])
-        all_words = vocab[rng.integers(0, len(vocab), int(starts[-1]))]
+        all_words = _draw_words(rng, int(starts[-1]))
         texts = [" ".join(all_words[starts[i]:starts[i + 1]]) for i in range(n_doc)]
         n_dup = max(1, int(0.0016 * n_doc))
         dup_src = rng.choice(n_doc, n_dup, replace=False)
@@ -257,14 +300,27 @@ def main() -> None:
         "several row groups PER part file — the mixed layout quadrant "
         "of the fan-out evidence plane)",
     )
+    ap.add_argument(
+        "--vocab-size", type=int, default=0,
+        help="documents vocabulary: 0 = legacy 31-word salad (the "
+        "collision-dense stress corpus); N > 0 = zipfian draw over an "
+        "N-token synthetic vocabulary (realistic mode — use >= 50000)",
+    )
+    ap.add_argument(
+        "--zipf-s", type=float, default=1.07,
+        help="zipf exponent for --vocab-size mode (1.07 ~ natural text)",
+    )
     args = ap.parse_args()
-    global N_FILES, ROW_GROUP_ROWS, TABLES_WANTED
+    global N_FILES, ROW_GROUP_ROWS, TABLES_WANTED, VOCAB_SIZE, ZIPF_S
     N_FILES = args.files_per_table
     ROW_GROUP_ROWS = args.row_group_rows
+    VOCAB_SIZE = args.vocab_size
+    ZIPF_S = args.zipf_s
     if args.tables:
         TABLES_WANTED = {t.strip() for t in args.tables.split(",") if t.strip()}
     print(f"generating sf={args.sf} -> {args.out} "
-          f"(files/table={N_FILES}, row_group_rows={ROW_GROUP_ROWS})")
+          f"(files/table={N_FILES}, row_group_rows={ROW_GROUP_ROWS}, "
+          f"vocab={'legacy31' if VOCAB_SIZE <= 0 else f'zipf{VOCAB_SIZE}@{ZIPF_S}'})")
     generate(args.sf, args.out)
 
 

@@ -285,6 +285,151 @@ def lsh_band_keys(
     return banded.groupBy(id_col, "band").agg(key.alias("band_key"))
 
 
+class PairVolumeExceeded(RuntimeError):
+    """Pre-flight disk-budget guard verdict: the pair-materializing op
+    would write more candidate-pair bytes than the configured budget.
+    Raised BEFORE the pair join runs, with the measured projection in
+    the message — a guarded query exits in seconds instead of dying on
+    'No space left on device' at minute 98 (the round-11 sf100 minhash
+    failure this guard exists to prevent)."""
+
+    def __init__(self, msg: str, projected_pairs: int, projected_bytes: int, budget_bytes: int):
+        super().__init__(msg)
+        self.projected_pairs = projected_pairs
+        self.projected_bytes = projected_bytes
+        self.budget_bytes = budget_bytes
+
+
+def _pair_guard_mode(spark, mode: str | None) -> str:
+    """fail | sample | off — explicit arg, else session conf, else env,
+    else 'fail' (a diagnostic either produces the exact pair set or
+    says precisely why it will not)."""
+    import os
+
+    if mode is None:
+        mode = spark.conf.get(
+            "spark.welearn.pairGuard.mode",
+            os.environ.get("SPARK_GRAFT_PAIR_GUARD", "fail"),
+        )
+    mode = (mode or "fail").lower()
+    if mode not in ("fail", "sample", "off"):
+        raise ValueError(f"pair_volume_guard: unknown mode {mode!r}")
+    return mode
+
+
+def _pair_guard_budget(spark, budget_bytes: int | None) -> int:
+    """Disk budget for materialized pair output: explicit arg, else
+    session conf / env (size strings: '40g'), else HALF the free space
+    on the shuffle-spill volume (spark.local.dir) — the shuffle write
+    is what actually fills the disk."""
+    import os
+    import shutil
+
+    from ..sources.tables import _size_to_bytes
+
+    if budget_bytes is not None:
+        return int(budget_bytes)
+    conf = spark.conf.get(
+        "spark.welearn.pairGuard.budget",
+        os.environ.get("SPARK_GRAFT_PAIR_BUDGET", ""),
+    )
+    if conf:
+        return _size_to_bytes(conf)
+    local_dir = spark.sparkContext.getConf().get("spark.local.dir", "/tmp")
+    local_dir = local_dir.split(",")[0]
+    try:
+        free = shutil.disk_usage(local_dir).free
+    except OSError:
+        free = shutil.disk_usage("/tmp").free
+    return free // 2
+
+
+def pair_volume_guard(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    *,
+    bytes_per_pair: int = 12,
+    worst_case_pairs: int | None = None,
+    budget_bytes: int | None = None,
+    mode: str | None = None,
+) -> DataFrame:
+    """Pre-flight output-volume gate for bucketed self-pairing ops.
+
+    A pair-materializing diagnostic's output is Σ_buckets C(c, 2) rows
+    — quadratic in bucket size, so on a collision-heavy corpus it can
+    exceed the machine's disk while every INPUT-side number still looks
+    linear (round-11 sf100: 5.14 B pair rows ≈ 50 GB shuffle write from
+    a 1.1 GB corpus, measured post-mortem by exactly this Σ C(c,2)
+    probe). The probe is aggregation-only (groupBy bucket → count →
+    sum), so running it FIRST costs one cheap pass and makes the
+    decision exact:
+
+    - projected bytes ≤ budget → return the input unchanged (no-op);
+    - mode='fail' (default) → raise :class:`PairVolumeExceeded` with
+      the measured projection in the message;
+    - mode='sample' → row-budget doctrine: deterministically keep
+      bucket MEMBERS with ``hexint(id) % keep == 0`` where
+      ``keep = ceil(sqrt(projected/budget))`` — pair volume scales as
+      1/keep² ≤ budget/projected, which bounds even a single
+      mega-bucket (bucket sampling could not: one boilerplate bucket
+      can exceed the budget alone);
+    - mode='off' → return the input unchanged, probe skipped.
+
+    ``worst_case_pairs`` is a driver-side upper bound the CALLER can
+    compute for free (e.g. n_bands · C(n_docs, 2)); when even the worst
+    case fits the budget the probe is skipped entirely, so small-SF
+    correctness gates and the sf0.1 bench pay nothing. ``bytes_per_pair``
+    defaults to 12 — the measured sf100 shuffle write was ~9.7 B/pair
+    (50 GB / 5.14 B pairs) plus dedup-stage headroom."""
+    spark = bucketed.sparkSession
+    mode = _pair_guard_mode(spark, mode)
+    if mode == "off":
+        return bucketed
+    budget = _pair_guard_budget(spark, budget_bytes)
+    if worst_case_pairs is not None and worst_case_pairs * bytes_per_pair <= budget:
+        return bucketed
+    # the Σ C(c,2) probe — one aggregation pass to a 1-row fetch, no
+    # pair row ever built (allowlisted in tests/test_collect_allowlist.py)
+    row = (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.sum(F.col("__c") * (F.col("__c") - 1) / 2).alias("__pairs"))
+        .first()
+    )
+    pairs = int(row["__pairs"] or 0)
+    projected = pairs * bytes_per_pair
+    if projected <= budget:
+        return bucketed
+    if mode == "fail":
+        raise PairVolumeExceeded(
+            f"pair_volume_guard: projected {pairs:,} candidate-pair rows "
+            f"(Σ C(bucket,2) over {'/'.join(bucket_cols)}) ≈ "
+            f"{projected / 1e9:.1f} GB at {bytes_per_pair} B/pair > budget "
+            f"{budget / 1e9:.1f} GB. This op is output-bound on this corpus "
+            f"— run with spark.welearn.pairGuard.mode=sample (row-budget "
+            f"member sampling), raise spark.welearn.pairGuard.budget, or "
+            f"use the decision-only probe (incremental_near_dup_ids).",
+            pairs,
+            projected,
+            budget,
+        )
+    # mode == 'sample': member sampling at 1/keep so pair volume fits
+    import math
+
+    den = math.ceil(projected / budget)
+    keep = math.isqrt(den - 1) + 1  # ceil(sqrt(den))
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "pair_volume_guard: projected %s pairs ≈ %.1f GB > budget %.1f GB; "
+        "sampling bucket members at 1/%d (hexint(%s) %% %d == 0) — pair "
+        "volume bound to ≤ budget",
+        f"{pairs:,}", projected / 1e9, budget / 1e9, keep, id_col, keep,
+    )
+    return bucketed.filter(hexint(F.col(id_col).cast("string")) % keep == 0)
+
+
 def lsh_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:
     """Distinct candidate pairs sharing any band key. Output
     (a_id, b_id), a_id < b_id.

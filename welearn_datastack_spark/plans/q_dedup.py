@@ -16,12 +16,23 @@ from ..operators.dedup import (
     lsh_band_keys,
     lsh_candidates,
     minhash_signatures,
+    pair_volume_guard,
     simhash,
     star_edges,
     word_shingles,
 )
 from ..sources.tables import fan_out_for_compute, load_table
 from .registry import register
+
+
+def _minhash_worst_case_pairs(docs: DataFrame, n_bands: int) -> int:
+    """Free upper bound for pair_volume_guard: every doc in one bucket
+    per band → n_bands · C(n, 2). One COUNT(*) scalar (the same
+    COUNT-driven sizing _sampled_baseline_docs uses); when even this
+    fits the disk budget the guard's Σ C(c,2) probe is skipped, so
+    small-SF gates and the sf0.1 bench pay nothing for the guard."""
+    n = docs.count()
+    return n_bands * (n * (n - 1) // 2)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,6 +252,10 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8)
     bands = lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+    bands = pair_volume_guard(
+        bands, ["band", "band_key"], "doc_id",
+        worst_case_pairs=_minhash_worst_case_pairs(docs, n_bands=4),
+    )
     return lsh_candidates(bands, "doc_id")
 
 
@@ -269,6 +284,10 @@ def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(sh, "doc_id", n_hashes=8, prehashed=True)
     bands = lsh_band_keys(
         sigs, "doc_id", rows_per_band=2, long_keys=True, cross_engine=True
+    )
+    bands = pair_volume_guard(
+        bands, ["band", "band_key"], "doc_id",
+        worst_case_pairs=_minhash_worst_case_pairs(docs, n_bands=4),
     )
     return lsh_candidates(bands, "doc_id")
 

@@ -11,6 +11,7 @@ cluster AQE's coalescing makes the initial number less critical).
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -93,6 +94,14 @@ def get_spark(app_name: str = "welearn-spark", shuffle_partitions: int | None = 
         # evicts stages during a 79-query x 5-run session, which would
         # silently corrupt delta-based byte accounting).
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # stage-progress bars are stderr spam that drowned the bench
+        # tail the driver captures (BENCH_r11.json's 2000-char tail was
+        # carriage-return progress frames); bench.py prints its own
+        # compact per-query lines instead
+        .config(
+            "spark.ui.showConsoleProgress",
+            os.environ.get("SPARK_GRAFT_CONSOLE_PROGRESS", "false"),
+        )
         .config("spark.ui.retainedStages", "500000")
         .config("spark.ui.retainedJobs", "500000")
         # static conf; default 100 entries. bench.py interleaves ~90
@@ -103,6 +112,24 @@ def get_spark(app_name: str = "welearn-spark", shuffle_partitions: int | None = 
         .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     spark = builder.getOrCreate()
+    # spark.sql.codegen.cache.maxEntries is a STATIC conf: getOrCreate()
+    # silently ignores it when a SparkSession already exists in this
+    # process (e.g. a pytest session fixture built first), leaving the
+    # 100-entry default — which turns bench "warm" runs into Janino
+    # recompiles. Read the effective value back and warn loudly rather
+    # than let a silent mismatch corrupt timing claims.
+    try:
+        effective = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+        if effective != "4096":
+            print(
+                "get_spark: WARNING spark.sql.codegen.cache.maxEntries is "
+                f"{effective!r}, not 4096 — a pre-existing SparkSession won "
+                "the static conf; bench timings in this process will include "
+                "codegen-cache thrash",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass  # conf not readable on this build — never break startup
     _silence_bounded_window_warnings(spark)
     return spark
 

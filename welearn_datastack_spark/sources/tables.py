@@ -137,11 +137,15 @@ def fan_out_for_compute(df: DataFrame, bytes_per_task: int = 2 << 20) -> DataFra
             spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
         )
         par = spark.sparkContext.defaultParallelism
-        # Spark's maxSplitBytes uses spark.sql.files.minPartitionNum
-        # when set and only falls back to defaultParallelism when it
-        # is not — mirror that lookup or the estimate diverges from
-        # Spark's real packing on sessions that tune the conf.
-        min_partition_conf = spark.conf.get("spark.sql.files.minPartitionNum", None)
+        # Spark's maxSplitBytes resolves the minimum-partition target as
+        # spark.sql.files.minPartitionNum, else
+        # spark.sql.leafNodeDefaultParallelism, else defaultParallelism
+        # (FilePartition.maxSplitBytes in sql/core) — mirror the FULL
+        # chain or the estimate diverges from Spark's real packing on
+        # sessions that tune either conf.
+        min_partition_conf = spark.conf.get(
+            "spark.sql.files.minPartitionNum", None
+        ) or spark.conf.get("spark.sql.leafNodeDefaultParallelism", None)
         min_partition_num = int(min_partition_conf) if min_partition_conf else par
         est_scan = _estimate_scan_partitions(
             sizes, max_partition, open_cost, min_partition_num
