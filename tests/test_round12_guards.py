@@ -252,3 +252,31 @@ def test_minhash_query_output_unchanged_by_guard(spark, sf_dir):
     df = REGISTRY["minhash_lsh_candidates"].build(spark, sf_dir)
     rows = {(r["a_id"], r["b_id"]) for r in df.limit(10000).collect()}
     assert all(a < b for a, b in rows)
+
+
+def test_midband_splice_params_decorrelated_from_sample(spark, monkeypatch, sf_dir):
+    """Round-12 §23.2 regression pin: the midband query's partner
+    bucket (hx % 16) and mix fraction (400 + 75·(hx % 5)) must come
+    from a SALTED hash stream, decorrelated from the row-budget
+    sample filter hexint(doc_id) % den == 0. Pre-fix, den = 10 forced
+    hx % 5 == 0 on every sampled doc (5 | 10): all pairs were spliced
+    at the minimum 400‰ fraction, so true Jaccard never reached
+    bucket 4 — §22.1's sf1 table truncated at bucket 3 and the
+    truncation was misattributed to the word-salad vocabulary. With
+    the '#mb' salt, a den=10 run on sf0.01 deterministically yields
+    pairs in buckets 4 and 5; removing the salt zeroes them again."""
+    import welearn_datastack_spark.plans.q_dedup as qd
+
+    monkeypatch.setattr(qd, "jaccard_sample_den", lambda n, budget=5000: 10)
+    rows = (
+        qd.lsh_recall_corpus_midband_q(spark, sf_dir.replace("sf0.001", "sf0.01"))
+        .collect()
+    )
+    by_bucket = {r["j_bucket"]: r for r in rows}
+    assert all(r["sample_den"] == 10 for r in rows)
+    # the decorrelation signature: mid-high buckets are populated
+    # even under a multiple-of-5 sampling denominator
+    assert max(by_bucket) >= 4, f"splice fractions re-correlated: {sorted(by_bucket)}"
+    # and the fraction spread exists: more than one bucket in 2-3 vs
+    # 4+ (pre-fix shape was ALL mass at <= 3)
+    assert sum(r["n_true"] for b, r in by_bucket.items() if b >= 4) >= 3

@@ -30,6 +30,14 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # the correctness gate runnable against multi-file datasets.
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            # slim corpora (gen_sf.py --tables documents,...) carry a
+            # table subset; skip the missing views so single-table
+            # gates (e.g. the midband recall re-run on a realistic-
+            # vocab documents-only corpus) can still register. A query
+            # that references a skipped table fails with DuckDB's
+            # normal "table does not exist" — never silently.
+            continue
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )

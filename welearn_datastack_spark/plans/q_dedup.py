@@ -495,7 +495,7 @@ _MIDBAND_ORACLE = (
   WHERE {_HEXINT.format(x="CAST(doc_id AS VARCHAR)")} % den.d = 0
 ), toks AS (
   SELECT * FROM (
-    SELECT doc_id, {_HEXINT.format(x="CAST(doc_id AS VARCHAR)")} AS hx,
+    SELECT doc_id, {_HEXINT.format(x="CAST(doc_id AS VARCHAR) || '#mb'")} AS hx,
            regexp_extract_all(lower(text), '\\w+') AS t
     FROM sdocs
   ) WHERE len(t) >= 20
@@ -569,7 +569,20 @@ GROUP BY m.j_bucket
 )
 def lsh_recall_corpus_midband_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
-    hx = hexint(F.col("doc_id").cast("string"))
+    # SALTED stream ('#mb') for partner-bucket and mix-fraction
+    # assignment — round-12 fix. The row budget keeps docs with
+    # hexint(doc_id) % den == 0; deriving pb = hx % 16 and
+    # frac_pm = 400 + 75·(hx % 5) from the SAME unsalted hash
+    # correlates them with the sample whenever gcd(den, 16·5) > 1:
+    # at sf1 den = 10, so every sampled doc had hx % 5 == 0 →
+    # frac_pm = 400 for ALL pairs and even-only partner buckets,
+    # truncating the measured mid-band at j_bucket 3 (§22.1's sf1
+    # table — misattributed to word-salad vocab; the salted stream
+    # and a realistic-vocab corpus both reproduce buckets 4+ only
+    # after THIS fix, SCALE.md §23). den = 1 at the driver SFs, but
+    # the salt changes pb/frac draws for every corpus, so both
+    # engines flip together (oracle twin carries the same '#mb').
+    hx = hexint(F.concat(F.col("doc_id").cast("string"), F.lit("#mb")))
     toks = docs.select(
         "doc_id",
         hx.alias("hx"),
