@@ -84,6 +84,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "minhash_lsh_candidates",
     "minhash_lsh_candidates_hashed",
+    "minhash_lsh_candidates_sampled",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_hashed",
     "duplicate_span_fraction_hashed",

@@ -280,3 +280,27 @@ def test_midband_splice_params_decorrelated_from_sample(spark, monkeypatch, sf_d
     # and the fraction spread exists: more than one bucket in 2-3 vs
     # 4+ (pre-fix shape was ALL mass at <= 3)
     assert sum(r["n_true"] for b, r in by_bucket.items() if b >= 4) >= 3
+
+
+def test_sampled_candidates_query_engages_and_bounds(spark, sf_dir):
+    """minhash_lsh_candidates_sampled must (a) actually engage the
+    sample branch at the driver SFs (600 B budget < 152-197 probe
+    pairs x 12 B), (b) emit a strict subset of the unguarded
+    candidate set (member sampling never invents a pair), and (c)
+    stay non-empty (keep = 2 retains ~1/2 of members -> ~1/4 of
+    pairs)."""
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    full = {
+        (r["a_id"], r["b_id"])
+        for r in REGISTRY["minhash_lsh_candidates"].build(spark, sf_dir).collect()
+    }
+    sampled = {
+        (r["a_id"], r["b_id"])
+        for r in REGISTRY["minhash_lsh_candidates_sampled"]
+        .build(spark, sf_dir)
+        .collect()
+    }
+    assert sampled, "sample branch emptied the candidate set"
+    assert sampled < full, "sampling did not engage (output == full set)"

@@ -218,9 +218,7 @@ def ngram_jaccard_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prehash reproduces the string path's signatures exactly
 # (pmod(hexint(s), p) == hexint(s) % p), so both pipelines emit the
 # identical pair set and gate against this one SQL.
-_MINHASH_LSH_ORACLE = (
-    _SHINGLES_CTE
-    + f"""
+_MINHASH_BANDS_CTES = f"""
     , base AS (
       SELECT doc_id, {_HEXINT.format(x="shingle")} % 2147483647 AS h31 FROM sh
     ), hashes AS (
@@ -234,8 +232,49 @@ _MINHASH_LSH_ORACLE = (
              md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
       FROM sigs GROUP BY doc_id, CAST(seed // 2 AS INT)
     )
+"""
+
+_MINHASH_LSH_ORACLE = (
+    _SHINGLES_CTE
+    + _MINHASH_BANDS_CTES
+    + """
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+)
+
+# Fixed tiny budget so the guard's SAMPLE branch engages at every
+# driver SF (sf0.001: 152 probe pairs x 12 B = 1,824 B; sf0.01:
+# 197 x 12 = 2,364 B; both > 600 -> keep = 2) — the point of the
+# query is to hash-gate the fallback itself, so it must actually run.
+_SAMPLED_PAIR_BUDGET_BYTES = 600
+
+# DuckDB twin of pair_volume_guard's sample branch (operators/
+# dedup.py): the same Σ C(c,2) probe over the band buckets, the same
+# den = ceil(projected / budget), keep = ceil(sqrt(den)) arithmetic
+# (isqrt(den-1)+1 == CEIL(SQRT(den)) for every den >= 1; all values
+# at the gated SFs are exact in doubles), and the same
+# hexint(doc_id) % keep == 0 member filter BEFORE pair generation.
+_MINHASH_SAMPLED_ORACLE = (
+    _SHINGLES_CTE
+    + _MINHASH_BANDS_CTES
+    + f"""
+    , probe AS (
+      SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS pairs
+      FROM (SELECT COUNT(*) AS c FROM bands GROUP BY band, band_key)
+    ), keepv AS (
+      SELECT CASE WHEN pairs * 12 <= {_SAMPLED_PAIR_BUDGET_BYTES} THEN 1
+                  ELSE CAST(CEIL(SQRT(CEIL(
+                    pairs * 12.0 / {_SAMPLED_PAIR_BUDGET_BYTES}))) AS BIGINT)
+             END AS keep
+      FROM probe
+    ), sbands AS (
+      SELECT b.* FROM bands b, keepv
+      WHERE {_HEXINT.format(x="CAST(doc_id AS VARCHAR)")} % keep = 0
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sbands a JOIN sbands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     """
 )
@@ -288,6 +327,40 @@ def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = pair_volume_guard(
         bands, ["band", "band_key"], "doc_id",
         worst_case_pairs=_minhash_worst_case_pairs(docs, n_bands=4),
+    )
+    return lsh_candidates(bands, "doc_id")
+
+
+@register(
+    "minhash_lsh_candidates_sampled",
+    _MINHASH_SAMPLED_ORACLE,
+    doc="The pair-volume guard's SAMPLE fallback as a first-class "
+    "hash-gated query (round 12, closing the loop on the round-11 "
+    "sf100 disk-death finding): the same minhash/banding pipeline as "
+    "minhash_lsh_candidates, but pair_volume_guard runs in "
+    "mode='sample' under a deliberately tiny fixed budget (600 B) so "
+    "the row-budget member-sampling doctrine ENGAGES at every driver "
+    "SF — bucket members are kept at hexint(doc_id) % keep == 0 with "
+    "keep = ceil(sqrt(ceil(12·ΣC(c,2)/budget))), bounding materialized "
+    "pair volume to ≤ budget even against a single mega-bucket. The "
+    "DuckDB twin replicates the probe, the keep arithmetic, and the "
+    "member filter in SQL, so the fallback's exact output — not just "
+    "its bound — is cross-engine verified. At 100 TB this is the path "
+    "a pair-materializing diagnostic takes on a collision-heavy "
+    "corpus instead of dying on shuffle disk (SCALE.md §22.6, §23.1).",
+)
+def minhash_lsh_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = hashed_shingles(
+        word_shingles(docs, "doc_id", "text", n=3), "doc_id", cross_engine=True
+    )
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=8, prehashed=True)
+    bands = lsh_band_keys(
+        sigs, "doc_id", rows_per_band=2, long_keys=True, cross_engine=True
+    )
+    bands = pair_volume_guard(
+        bands, ["band", "band_key"], "doc_id",
+        budget_bytes=_SAMPLED_PAIR_BUDGET_BYTES, mode="sample",
     )
     return lsh_candidates(bands, "doc_id")
 
