@@ -304,3 +304,37 @@ def test_sampled_candidates_query_engages_and_bounds(spark, sf_dir):
     }
     assert sampled, "sample branch emptied the candidate set"
     assert sampled < full, "sampling did not engage (output == full set)"
+
+
+def test_simhash_near_pairs_guarded(spark):
+    """The simhash banded self-join — the other output-quadratic
+    diagnostic — now runs through pair_volume_guard like the minhash
+    family. fail branch: a sub-pair budget raises with the measured
+    projection; no-trigger branch: a generous budget leaves the exact
+    pair set untouched."""
+    import pyspark.sql.functions as F
+
+    from welearn_datastack_spark.operators.dedup import (
+        PairVolumeExceeded,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i % 3}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    fp = simhash(docs, "doc_id", "text", bits=16)
+    spark.conf.set("spark.welearn.pairGuard.budget", "100")
+    try:
+        with pytest.raises(PairVolumeExceeded) as ei:
+            simhash_near_pairs(fp, "doc_id").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        assert ei.value.projected_pairs > 0
+    finally:
+        spark.conf.unset("spark.welearn.pairGuard.budget")
+    # generous budget (default: free disk / 2) -> unchanged output
+    out = simhash_near_pairs(fp, "doc_id")
+    assert out.filter(F.col("a_id") >= F.col("b_id")).count() == 0
+    assert out.count() > 0

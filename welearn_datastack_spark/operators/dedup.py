@@ -660,6 +660,7 @@ def simhash_near_pairs(
     n_bands: int = 4,
     max_hamming: int = 3,
     chunk_target: int = 256,
+    worst_case_pairs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming,
     found WITHOUT a quadratic comparison: split the fingerprint into
@@ -715,6 +716,19 @@ def simhash_near_pairs(
     # on the bench corpus). A user repartition is exempt from AQE
     # coalescing, so pin the bucket distribution explicitly. The
     # window below reuses this clustering (no extra exchange).
+    # Same pre-flight disk-budget gate as the minhash diagnostics:
+    # simhash_near_pairs is the OTHER output-quadratic op (the sf3
+    # audit's standing `bytes-grew` flag) — with 4-bit band keys a
+    # collision-heavy corpus piles Θ(n) docs into 16 values per band,
+    # so the banded-join output can exceed single-box disk exactly
+    # like the round-11 sf100 minhash death. Below budget the guard
+    # is a structural no-op (sf0.01 projection ≈ 0.4 MB vs a tens-of-
+    # GB budget), so the oracle gates never see it; callers pass
+    # worst_case_pairs (n_bands · C(n,2)) to skip even the probe when
+    # that already fits.
+    banded = pair_volume_guard(
+        banded, ["band", "band_key"], id_col, worst_case_pairs=worst_case_pairs
+    )
     par = fingerprints.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(par, "band", "band_key")
     bucket_w = Window.partitionBy("band", "band_key")
