@@ -430,6 +430,86 @@ def pair_volume_guard(
     return bucketed.filter(hexint(F.col(id_col).cast("string")) % keep == 0)
 
 
+def replicated_volume_guard(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    *,
+    chunk_target: int = 256,
+    bytes_per_row: int = 48,
+    worst_case_rows: int | None = None,
+    budget_bytes: int | None = None,
+    mode: str | None = None,
+) -> DataFrame:
+    """Pre-flight disk gate for CHUNK-SPLIT self-joins (simhash's
+    shape) — the sibling of :func:`pair_volume_guard` with the correct
+    cost model for ops whose pair rows never touch disk.
+
+    `chunked_self_pairs`/`simhash_near_pairs` generate each bucket's
+    pairs IN-TASK after the shuffle and dedup them by construction
+    (first-band emission), so Σ C(c,2)·12 B — the right projection for
+    the minhash family, whose candidate stream IS shuffled for the
+    cross-band dropDuplicates — overstates their disk exposure by the
+    chunk factor (measured round 12: the sf3 simhash probe projected
+    182.5 GB of "pairs" while the real run writes ~3 GB and completed
+    in ~100 s the round before). What actually hits disk is the
+    REPLICATED chunk input: a member of a bucket with s =
+    ceil(c/chunk_target) chunks enters ≤ s+1 join sides, so the
+    exchange carries Σ_buckets c·(s+1) rows ≈ 2·ΣC(c,2)/chunk_target
+    at the hot-bucket limit. The probe aggregates exactly that.
+
+    Sampling note: replicated volume is ~LINEAR in kept members (each
+    member's replication factor shrinks with its bucket, making 1/keep
+    conservative), so the sample branch uses keep = den, not
+    ceil(sqrt(den)) as the quadratic pair guard does."""
+    spark = bucketed.sparkSession
+    mode = _pair_guard_mode(spark, mode)
+    if mode == "off":
+        return bucketed
+    budget = _pair_guard_budget(spark, budget_bytes)
+    if worst_case_rows is not None and worst_case_rows * bytes_per_row <= budget:
+        return bucketed
+    row = (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum(
+                F.col("__c")
+                * (F.ceil(F.col("__c") / chunk_target) + F.lit(1))
+            ).alias("__rows")
+        )
+        .first()
+    )
+    rows = int(row["__rows"] or 0)
+    projected = rows * bytes_per_row
+    if projected <= budget:
+        return bucketed
+    if mode == "fail":
+        raise PairVolumeExceeded(
+            f"replicated_volume_guard: projected {rows:,} replicated "
+            f"chunk-join input rows (Σ c·(ceil(c/{chunk_target})+1) over "
+            f"{'/'.join(bucket_cols)}) ≈ {projected / 1e9:.1f} GB at "
+            f"{bytes_per_row} B/row > budget {budget / 1e9:.1f} GB. The "
+            f"chunk-split exchange itself exceeds the disk budget on this "
+            f"corpus — run with spark.welearn.pairGuard.mode=sample "
+            f"(member sampling at 1/den, linear volume model) or raise "
+            f"spark.welearn.pairGuard.budget.",
+            rows,
+            projected,
+            budget,
+        )
+    import logging
+    import math
+
+    keep = math.ceil(projected / budget)
+    logging.getLogger(__name__).warning(
+        "replicated_volume_guard: projected %s rows ≈ %.1f GB > budget "
+        "%.1f GB; sampling bucket members at 1/%d (hexint(%s) %% %d == 0)",
+        f"{rows:,}", projected / 1e9, budget / 1e9, keep, id_col, keep,
+    )
+    return bucketed.filter(hexint(F.col(id_col).cast("string")) % keep == 0)
+
+
 def lsh_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:
     """Distinct candidate pairs sharing any band key. Output
     (a_id, b_id), a_id < b_id.
@@ -660,7 +740,7 @@ def simhash_near_pairs(
     n_bands: int = 4,
     max_hamming: int = 3,
     chunk_target: int = 256,
-    worst_case_pairs: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming,
     found WITHOUT a quadratic comparison: split the fingerprint into
@@ -716,18 +796,29 @@ def simhash_near_pairs(
     # on the bench corpus). A user repartition is exempt from AQE
     # coalescing, so pin the bucket distribution explicitly. The
     # window below reuses this clustering (no extra exchange).
-    # Same pre-flight disk-budget gate as the minhash diagnostics:
-    # simhash_near_pairs is the OTHER output-quadratic op (the sf3
-    # audit's standing `bytes-grew` flag) — with 4-bit band keys a
-    # collision-heavy corpus piles Θ(n) docs into 16 values per band,
-    # so the banded-join output can exceed single-box disk exactly
-    # like the round-11 sf100 minhash death. Below budget the guard
-    # is a structural no-op (sf0.01 projection ≈ 0.4 MB vs a tens-of-
-    # GB budget), so the oracle gates never see it; callers pass
-    # worst_case_pairs (n_bands · C(n,2)) to skip even the probe when
-    # that already fits.
-    banded = pair_volume_guard(
-        banded, ["band", "band_key"], id_col, worst_case_pairs=worst_case_pairs
+    # Pre-flight disk gate with the CHUNK-SPLIT cost model (NOT the
+    # quadratic pair model): simhash pairs are generated in-task after
+    # the shuffle and deduped by first-band emission, so the disk
+    # consumer here is the replicated chunk-join input, ≈
+    # 2·ΣC(c,2)/chunk_target rows at the hot-bucket limit — the
+    # quadratic pair probe overstates it by the chunk factor and
+    # (measured, round 12) wrongly benched this query off at sf3,
+    # which the prior round completed in ~100 s. Below budget the
+    # guard is a structural no-op; when the caller supplies n_docs the
+    # everyone-in-one-bucket worst case — c = n per (band, value),
+    # rows = n_bands·n·(ceil(n/T)+1) — lets small corpora skip even
+    # the probe.
+    worst_rows = (
+        None
+        if n_docs is None
+        else n_bands * n_docs * (-(-n_docs // chunk_target) + 1)
+    )
+    banded = replicated_volume_guard(
+        banded,
+        ["band", "band_key"],
+        id_col,
+        chunk_target=chunk_target,
+        worst_case_rows=worst_rows,
     )
     par = fingerprints.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(par, "band", "band_key")

@@ -1062,8 +1062,7 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     fp = simhash(docs, "doc_id", "text", bits=16)
     return simhash_near_pairs(
-        fp, "doc_id", bits=16, n_bands=4, max_hamming=3,
-        worst_case_pairs=_minhash_worst_case_pairs(docs, n_bands=4),
+        fp, "doc_id", bits=16, n_bands=4, max_hamming=3, n_docs=docs.count()
     )
 
 
