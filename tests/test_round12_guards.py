@@ -307,11 +307,12 @@ def test_sampled_candidates_query_engages_and_bounds(spark, sf_dir):
 
 
 def test_simhash_near_pairs_guarded(spark):
-    """The simhash banded self-join — the other output-quadratic
-    diagnostic — now runs through pair_volume_guard like the minhash
-    family. fail branch: a sub-pair budget raises with the measured
-    projection; no-trigger branch: a generous budget leaves the exact
-    pair set untouched."""
+    """The simhash banded self-join now runs through
+    replicated_volume_guard — the chunk-split cost model (replicated
+    join-input rows, NOT quadratic pairs: simhash pairs are generated
+    in-task and never hit disk). fail branch: a sub-row budget raises
+    with the measured replicated-row projection; no-trigger branch: a
+    generous budget leaves the exact pair set untouched."""
     import pyspark.sql.functions as F
 
     from welearn_datastack_spark.operators.dedup import (
