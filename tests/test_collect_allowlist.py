@@ -22,10 +22,11 @@ _PAT = re.compile(r"\.(collect|first|toPandas|toLocalIterator)\(\)")
 ALLOWED = {
     "jobs.py": (1, "final CLI report: per-state counts, <= 3 rows"),
     "operators/dedup.py": (
-        1,
-        "pair_volume_guard's 1-row Σ C(bucket,2) projection — the "
-        "pre-flight disk-budget probe is a double aggregation to one "
-        "scalar, never pair rows",
+        2,
+        "the two pre-flight disk-budget probes, 1 row each: "
+        "pair_volume_guard's Σ C(bucket,2) projection and "
+        "replicated_volume_guard's Σ c·(ceil(c/T)+1) projection — "
+        "double aggregations to one scalar, never pair rows",
     ),
     "operators/compaction.py": (
         2,
