@@ -31,11 +31,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from welearn_datastack_spark.operators.dedup import (  # noqa: E402
-    hashed_shingles,
-    lsh_band_keys,
-    minhash_signatures,
-    word_shingles,
+from welearn_datastack_spark.plans.q_dedup import (  # noqa: E402
+    minhash_band_frame,
 )
 from welearn_datastack_spark.session import get_spark  # noqa: E402
 from welearn_datastack_spark.sources.tables import (  # noqa: E402
@@ -46,16 +43,11 @@ from welearn_datastack_spark.sources.tables import (  # noqa: E402
 
 def probe(spark, sf_dir: str, n_bands: int, rows_per_band: int) -> dict:
     docs = fan_out_for_compute(load_table(spark, sf_dir, "documents"))
-    sh = hashed_shingles(
-        word_shingles(docs, "doc_id", "text", n=3), "doc_id", cross_engine=True
-    )
-    sigs = minhash_signatures(
-        sh, "doc_id", n_hashes=n_bands * rows_per_band, prehashed=True
-    )
-    bands = lsh_band_keys(
-        sigs, "doc_id", rows_per_band=rows_per_band, long_keys=True,
-        cross_engine=True,
-    )
+    # the SHARED pipeline builder the gated queries run — the probe
+    # stays coupled to exactly what minhash_lsh_candidates_hashed
+    # would materialize (round-12 ADVICE: a private re-derivation here
+    # would silently stop measuring the query it claims to model)
+    bands = minhash_band_frame(docs, n_bands=n_bands, rows_per_band=rows_per_band)
     row = (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -66,13 +58,17 @@ def probe(spark, sf_dir: str, n_bands: int, rows_per_band: int) -> dict:
         )
         .first()
     )
+    from welearn_datastack_spark.operators.dedup import PAIR_GUARD_BYTES_PER_PAIR
+
     return {
         "sf_dir": sf_dir,
         "docs": docs.count(),
         "buckets": int(row["buckets"]),
         "max_bucket": int(row["max_bucket"]),
         "candidate_pairs": int(row["pairs"] or 0),
-        "est_shuffle_gb": round(int(row["pairs"] or 0) * 12 / 1e9, 2),
+        "est_shuffle_gb": round(
+            int(row["pairs"] or 0) * PAIR_GUARD_BYTES_PER_PAIR / 1e9, 2
+        ),
     }
 
 

@@ -130,6 +130,9 @@ def jaccard_pairs(
     round_digits: int = 6,
     size_col: str | None = None,
     with_counts: bool = False,
+    chunk_target: int = 256,
+    worst_case_pairs: int | None = None,
+    guard: bool = True,
 ) -> DataFrame:
     """All document pairs sharing ≥1 shingle, with Jaccard similarity
     ≥ threshold. Output (a_id, b_id, jaccard), a_id < b_id.
@@ -149,39 +152,55 @@ def jaccard_pairs(
     the rounding boundary.
 
     Pairs are generated per shingle bucket — shuffle on shingle, never
-    a cross product — by collecting each bucket's (id, size) members
-    and exploding the i<j combinations with array algebra. Compared to
-    the textbook 3-way self-join (a ⋈ b on shingle, then two joins
-    back to per-doc sizes) this evaluates the shingle pipeline ONCE
-    instead of three times and replaces the two size joins with a
-    carried column; pass ``size_col`` if the size is already present,
-    else it's recovered with one per-doc window (exchange-free when
-    the shingles are clustered on the id, as word_shingles leaves
-    them). Bucket width is bounded by document-frequency in practice;
-    a pathological boilerplate shingle shows up as a hot bucket and is
-    handled the same way as an LSH mega-bucket (AQE skew split /
-    stop-shingle filter upstream)."""
+    a cross product — via :func:`chunked_self_pairs` (the hot-bucket
+    sub-split; round 13, off the collect_list + array-combinations
+    idiom for the same reason :func:`lsh_candidates` moved in round
+    10: a boilerplate mega-bucket's |bucket|²/2 pair array inside ONE
+    task row buffer is an OOM bomb no disk budget catches). Compared
+    to the textbook 3-way self-join (a ⋈ b on shingle, then two joins
+    back to per-doc sizes) this evaluates the shingle pipeline once
+    (ReuseExchange dedups the two chunk sides' identical scans) and
+    replaces the two size joins with a carried payload column; pass
+    ``size_col`` if the size is already present, else it's recovered
+    with one per-doc window (exchange-free when the shingles are
+    clustered on the id, as word_shingles leaves them).
+
+    GUARDED (round 13): the pair stream here IS shuffled (the
+    pair-count groupBy), so disk exposure is the quadratic
+    Σ_buckets C(c,2) model — :func:`pair_volume_guard` pre-flights it
+    with ``persist_on_probe`` (the probe pass materializes the
+    shingle+size frame the real run reuses, so the guarded pipeline is
+    computed once). Registered callers are row-budget-sampled to
+    ≤ _JACCARD_DOC_BUDGET documents (plans/q_dedup.py), which bounds
+    the probe's own cost at roughly sf0.1 forever — that, not a
+    worst-case formula, is their skip argument; library callers on
+    unbudgeted corpora get the full fail/sample doctrine (pass
+    ``worst_case_pairs`` when a free bound exists, ``guard=False``
+    only when an outer guard already covers the same buckets)."""
     if size_col is None:
         shingles = shingles.withColumn(
             "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
         )
         size_col = "__sz"
-    member = F.struct(F.col(id_col).alias("m_id"), F.col(size_col).alias("m_sz"))
-    buckets = (
-        shingles.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(member)).alias("ms"))
-        .filter(F.size("ms") > 1)
+    if guard:
+        # 4-long pair rows (a_id, b_id, sa, sb): ~2x the 2-long minhash
+        # stream's measured 9.7 B/pair compressed shuffle footprint
+        shingles = pair_volume_guard(
+            shingles,
+            ["shingle"],
+            id_col,
+            bytes_per_pair=24,
+            worst_case_pairs=worst_case_pairs,
+            persist_on_probe=True,
+        )
+    pairs = chunked_self_pairs(
+        shingles, ["shingle"], id_col, [size_col], chunk_target=chunk_target
+    ).select(
+        "a_id",
+        "b_id",
+        F.col(f"a_{size_col}").alias("sa"),
+        F.col(f"b_{size_col}").alias("sb"),
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(ms) - 2),"
-                " i -> transform(sequence(i + 1, size(ms) - 1),"
-                " j -> struct(ms[i].m_id AS a_id, ms[j].m_id AS b_id,"
-                "             ms[i].m_sz AS sa, ms[j].m_sz AS sb))))"
-            )
-        ).alias("p")
-    ).select("p.a_id", "p.b_id", "p.sa", "p.sb")
     counted = pairs.groupBy("a_id", "b_id", "sa", "sb").agg(
         F.count(F.lit(1)).alias("common")
     )
@@ -344,15 +363,99 @@ def _pair_guard_budget(spark, budget_bytes: int | None) -> int:
     return free // 2
 
 
+def _volume_guard(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    *,
+    probe_expr: Column,
+    unit_bytes: int,
+    keep_fn,
+    fail_msg,
+    log_label: str,
+    worst_case_units: int | None = None,
+    budget_bytes: int | None = None,
+    mode: str | None = None,
+    persist_on_probe: bool = False,
+) -> DataFrame:
+    """Shared scaffolding for the two pre-flight disk-budget guards —
+    mode/budget resolution, the worst-case probe skip, the per-bucket
+    count probe, and the fail/sample/off branching live HERE so the
+    two cost models (quadratic pairs vs replicated chunk rows) cannot
+    drift in their mode/budget/filter semantics (round-12 ADVICE).
+    The cost models differ only in ``probe_expr`` (an aggregate over
+    the per-bucket count column ``__c``), ``keep_fn`` (den → sampling
+    modulus), and the message.
+
+    EAGER-BUILD NOTE: when neither the worst-case hint nor mode='off'
+    short-circuits, the probe runs a REAL Spark job (one aggregation
+    to a 1-row fetch — allowlisted in tests/test_collect_allowlist.py)
+    at DataFrame-BUILD time, so a guarded builder is not plan-only
+    (tools/dump_plans.py executes these probes while constructing
+    plans). ``persist_on_probe=True`` persists the bucketed input
+    (MEMORY_AND_DISK) before probing so the probe pass materializes
+    the same computation the real run then reuses — the guarded
+    pipeline is computed ONCE, not twice; on the fail branch the
+    persist is released before raising."""
+    spark = bucketed.sparkSession
+    mode = _pair_guard_mode(spark, mode)
+    if mode == "off":
+        return bucketed
+    budget = _pair_guard_budget(spark, budget_bytes)
+    if worst_case_units is not None and worst_case_units * unit_bytes <= budget:
+        return bucketed
+    if persist_on_probe:
+        from pyspark import StorageLevel
+
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+    row = (
+        bucketed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(probe_expr.alias("__units"))
+        .first()
+    )
+    units = int(row["__units"] or 0)
+    projected = units * unit_bytes
+    if projected <= budget:
+        return bucketed
+    if mode == "fail":
+        if persist_on_probe:
+            bucketed.unpersist()
+        raise PairVolumeExceeded(
+            fail_msg(units, projected, budget), units, projected, budget
+        )
+    # mode == 'sample': deterministic member sampling at 1/keep
+    import logging
+    import math
+
+    keep = keep_fn(math.ceil(projected / budget))
+    logging.getLogger(__name__).warning(
+        "%s: projected %s units ≈ %.1f GB > budget %.1f GB; sampling "
+        "bucket members at 1/%d (hexint(%s) %% %d == 0)",
+        log_label, f"{units:,}", projected / 1e9, budget / 1e9, keep, id_col, keep,
+    )
+    return bucketed.filter(hexint(F.col(id_col).cast("string")) % keep == 0)
+
+
+# default disk cost of one materialized candidate-pair row (2 longs,
+# compressed shuffle): the measured sf100 write was ~9.7 B/pair
+# (50 GB / 5.14 B pairs) plus dedup-stage headroom. Shared with the
+# sampled query's DuckDB twin (plans/q_dedup._MINHASH_SAMPLED_ORACLE
+# interpolates it), so the two engines cannot drift on the keep
+# arithmetic's byte factor.
+PAIR_GUARD_BYTES_PER_PAIR = 12
+
+
 def pair_volume_guard(
     bucketed: DataFrame,
     bucket_cols: list[str],
     id_col: str,
     *,
-    bytes_per_pair: int = 12,
+    bytes_per_pair: int = PAIR_GUARD_BYTES_PER_PAIR,
     worst_case_pairs: int | None = None,
     budget_bytes: int | None = None,
     mode: str | None = None,
+    persist_on_probe: bool = False,
 ) -> DataFrame:
     """Pre-flight output-volume gate for bucketed self-pairing ops.
 
@@ -373,7 +476,10 @@ def pair_volume_guard(
       ``keep = ceil(sqrt(projected/budget))`` — pair volume scales as
       1/keep² ≤ budget/projected, which bounds even a single
       mega-bucket (bucket sampling could not: one boilerplate bucket
-      can exceed the budget alone);
+      can exceed the budget alone). The keep formula and the 12 B/pair
+      default are REPLICATED as SQL literals in the sampled query's
+      DuckDB twin (plans/q_dedup._MINHASH_SAMPLED_ORACLE interpolates
+      them from the shared module constants) — change them together;
     - mode='off' → return the input unchanged, probe skipped.
 
     ``worst_case_pairs`` is a driver-side upper bound the CALLER can
@@ -381,53 +487,37 @@ def pair_volume_guard(
     case fits the budget the probe is skipped entirely, so small-SF
     correctness gates and the sf0.1 bench pay nothing. ``bytes_per_pair``
     defaults to 12 — the measured sf100 shuffle write was ~9.7 B/pair
-    (50 GB / 5.14 B pairs) plus dedup-stage headroom."""
-    spark = bucketed.sparkSession
-    mode = _pair_guard_mode(spark, mode)
-    if mode == "off":
-        return bucketed
-    budget = _pair_guard_budget(spark, budget_bytes)
-    if worst_case_pairs is not None and worst_case_pairs * bytes_per_pair <= budget:
-        return bucketed
-    # the Σ C(c,2) probe — one aggregation pass to a 1-row fetch, no
-    # pair row ever built (allowlisted in tests/test_collect_allowlist.py)
-    row = (
-        bucketed.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(F.sum(F.col("__c") * (F.col("__c") - 1) / 2).alias("__pairs"))
-        .first()
-    )
-    pairs = int(row["__pairs"] or 0)
-    projected = pairs * bytes_per_pair
-    if projected <= budget:
-        return bucketed
-    if mode == "fail":
-        raise PairVolumeExceeded(
+    (50 GB / 5.14 B pairs) plus dedup-stage headroom. See
+    :func:`_volume_guard` for the eager-build / persist_on_probe
+    semantics shared with :func:`replicated_volume_guard`."""
+    def msg(pairs: int, projected: int, budget: int) -> str:
+        return (
             f"pair_volume_guard: projected {pairs:,} candidate-pair rows "
             f"(Σ C(bucket,2) over {'/'.join(bucket_cols)}) ≈ "
             f"{projected / 1e9:.1f} GB at {bytes_per_pair} B/pair > budget "
             f"{budget / 1e9:.1f} GB. This op is output-bound on this corpus "
             f"— run with spark.welearn.pairGuard.mode=sample (row-budget "
             f"member sampling), raise spark.welearn.pairGuard.budget, or "
-            f"use the decision-only probe (incremental_near_dup_ids).",
-            pairs,
-            projected,
-            budget,
+            f"use the decision-only probe (incremental_near_dup_ids)."
         )
-    # mode == 'sample': member sampling at 1/keep so pair volume fits
+
     import math
 
-    den = math.ceil(projected / budget)
-    keep = math.isqrt(den - 1) + 1  # ceil(sqrt(den))
-    import logging
-
-    logging.getLogger(__name__).warning(
-        "pair_volume_guard: projected %s pairs ≈ %.1f GB > budget %.1f GB; "
-        "sampling bucket members at 1/%d (hexint(%s) %% %d == 0) — pair "
-        "volume bound to ≤ budget",
-        f"{pairs:,}", projected / 1e9, budget / 1e9, keep, id_col, keep,
+    return _volume_guard(
+        bucketed,
+        bucket_cols,
+        id_col,
+        probe_expr=F.sum(F.col("__c") * (F.col("__c") - 1) / 2),
+        unit_bytes=bytes_per_pair,
+        # pair volume ∝ 1/keep², so ceil(sqrt(den)) bounds it to ≤ budget
+        keep_fn=lambda den: math.isqrt(den - 1) + 1,
+        fail_msg=msg,
+        log_label="pair_volume_guard",
+        worst_case_units=worst_case_pairs,
+        budget_bytes=budget_bytes,
+        mode=mode,
+        persist_on_probe=persist_on_probe,
     )
-    return bucketed.filter(hexint(F.col(id_col).cast("string")) % keep == 0)
 
 
 def replicated_volume_guard(
@@ -440,20 +530,23 @@ def replicated_volume_guard(
     worst_case_rows: int | None = None,
     budget_bytes: int | None = None,
     mode: str | None = None,
+    persist_on_probe: bool = False,
 ) -> DataFrame:
     """Pre-flight disk gate for CHUNK-SPLIT self-joins (simhash's
-    shape) — the sibling of :func:`pair_volume_guard` with the correct
-    cost model for ops whose pair rows never touch disk.
+    shape, and semantic dedup's) — the sibling of
+    :func:`pair_volume_guard` with the correct cost model for ops
+    whose pair rows never touch disk.
 
     `chunked_self_pairs`/`simhash_near_pairs` generate each bucket's
-    pairs IN-TASK after the shuffle and dedup them by construction
-    (first-band emission), so Σ C(c,2)·12 B — the right projection for
-    the minhash family, whose candidate stream IS shuffled for the
-    cross-band dropDuplicates — overstates their disk exposure by the
-    chunk factor (measured round 12: the sf3 simhash probe projected
-    182.5 GB of "pairs" while the real run writes ~3 GB and completed
-    in ~100 s the round before). What actually hits disk is the
-    REPLICATED chunk input: a member of a bucket with s =
+    pairs IN-TASK after the shuffle and either dedup them by
+    construction (first-band emission) or stream them straight into a
+    selective filter, so Σ C(c,2)·12 B — the right projection for ops
+    whose candidate stream IS shuffled (the minhash dropDuplicates,
+    jaccard's pair-count groupBy) — overstates their disk exposure by
+    the chunk factor (measured round 12: the sf3 simhash probe
+    projected 182.5 GB of "pairs" while the real run writes ~3 GB and
+    completed in ~100 s the round before). What actually hits disk is
+    the REPLICATED chunk input: a member of a bucket with s =
     ceil(c/chunk_target) chunks enters ≤ s+1 join sides, so the
     exchange carries Σ_buckets c·(s+1) rows ≈ 2·ΣC(c,2)/chunk_target
     at the hot-bucket limit. The probe aggregates exactly that.
@@ -461,31 +554,11 @@ def replicated_volume_guard(
     Sampling note: replicated volume is ~LINEAR in kept members (each
     member's replication factor shrinks with its bucket, making 1/keep
     conservative), so the sample branch uses keep = den, not
-    ceil(sqrt(den)) as the quadratic pair guard does."""
-    spark = bucketed.sparkSession
-    mode = _pair_guard_mode(spark, mode)
-    if mode == "off":
-        return bucketed
-    budget = _pair_guard_budget(spark, budget_bytes)
-    if worst_case_rows is not None and worst_case_rows * bytes_per_row <= budget:
-        return bucketed
-    row = (
-        bucketed.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(
-            F.sum(
-                F.col("__c")
-                * (F.ceil(F.col("__c") / chunk_target) + F.lit(1))
-            ).alias("__rows")
-        )
-        .first()
-    )
-    rows = int(row["__rows"] or 0)
-    projected = rows * bytes_per_row
-    if projected <= budget:
-        return bucketed
-    if mode == "fail":
-        raise PairVolumeExceeded(
+    ceil(sqrt(den)) as the quadratic pair guard does. See
+    :func:`_volume_guard` for the eager-build / persist_on_probe
+    semantics."""
+    def msg(rows: int, projected: int, budget: int) -> str:
+        return (
             f"replicated_volume_guard: projected {rows:,} replicated "
             f"chunk-join input rows (Σ c·(ceil(c/{chunk_target})+1) over "
             f"{'/'.join(bucket_cols)}) ≈ {projected / 1e9:.1f} GB at "
@@ -493,21 +566,25 @@ def replicated_volume_guard(
             f"chunk-split exchange itself exceeds the disk budget on this "
             f"corpus — run with spark.welearn.pairGuard.mode=sample "
             f"(member sampling at 1/den, linear volume model) or raise "
-            f"spark.welearn.pairGuard.budget.",
-            rows,
-            projected,
-            budget,
+            f"spark.welearn.pairGuard.budget."
         )
-    import logging
-    import math
 
-    keep = math.ceil(projected / budget)
-    logging.getLogger(__name__).warning(
-        "replicated_volume_guard: projected %s rows ≈ %.1f GB > budget "
-        "%.1f GB; sampling bucket members at 1/%d (hexint(%s) %% %d == 0)",
-        f"{rows:,}", projected / 1e9, budget / 1e9, keep, id_col, keep,
+    return _volume_guard(
+        bucketed,
+        bucket_cols,
+        id_col,
+        probe_expr=F.sum(
+            F.col("__c") * (F.ceil(F.col("__c") / chunk_target) + F.lit(1))
+        ),
+        unit_bytes=bytes_per_row,
+        keep_fn=lambda den: den,
+        fail_msg=msg,
+        log_label="replicated_volume_guard",
+        worst_case_units=worst_case_rows,
+        budget_bytes=budget_bytes,
+        mode=mode,
+        persist_on_probe=persist_on_probe,
     )
-    return bucketed.filter(hexint(F.col(id_col).cast("string")) % keep == 0)
 
 
 def lsh_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:
@@ -819,6 +896,12 @@ def simhash_near_pairs(
         id_col,
         chunk_target=chunk_target,
         worst_case_rows=worst_rows,
+        # when the probe executes (it doesn't below ~sf3: the worst-case
+        # hint fits the budget), the banded frame is persisted so the
+        # probe pass and the real run share one fingerprint→banding
+        # computation (round-12 ADVICE; see _volume_guard's eager-build
+        # note — guarded builders launch the probe job at build time)
+        persist_on_probe=True,
     )
     par = fingerprints.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(par, "band", "band_key")

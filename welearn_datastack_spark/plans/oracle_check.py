@@ -21,6 +21,7 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    registered = 0
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
         # gen_sf.py --files-per-table writes <name>.parquet as a
@@ -40,6 +41,16 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
             continue
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+        registered += 1
+    if registered == 0:
+        # per-table skips exist for genuine slim corpora (gen_sf.py
+        # --tables); a dir with ZERO known tables is a typo'd sf_dir,
+        # and surfacing it here beats N per-query 'table does not
+        # exist' failures later (round-12 ADVICE)
+        raise FileNotFoundError(
+            f"duckdb_conn: no known table parquet found under {sf_dir!r} "
+            f"(expected at least one of {sorted(TABLES)})"
         )
     return con
 

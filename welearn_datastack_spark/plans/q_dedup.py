@@ -25,6 +25,28 @@ from ..sources.tables import fan_out_for_compute, load_table
 from .registry import register
 
 
+def minhash_band_frame(
+    docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """The gated narrow-key minhash pipeline — trigram shingles →
+    cross-engine hashed keys → minhash signatures → long band keys —
+    exactly as `minhash_lsh_candidates_hashed` / `_sampled` run it.
+    Shared with tools/pair_probe.py so the probe tool measures the
+    SAME pipeline the queries gate (round-12 ADVICE: the tool
+    re-derived it with its own defaults, which would silently diverge
+    if the shingle width or banding parameters here moved)."""
+    sh = hashed_shingles(
+        word_shingles(docs, "doc_id", "text", n=3), "doc_id", cross_engine=True
+    )
+    sigs = minhash_signatures(
+        sh, "doc_id", n_hashes=n_bands * rows_per_band, prehashed=True
+    )
+    return lsh_band_keys(
+        sigs, "doc_id", rows_per_band=rows_per_band, long_keys=True,
+        cross_engine=True,
+    )
+
+
 def _minhash_worst_case_pairs(docs: DataFrame, n_bands: int) -> int:
     """Free upper bound for pair_volume_guard: every doc in one bucket
     per band → n_bands · C(n, 2). One COUNT(*) scalar (the same
@@ -256,6 +278,12 @@ _SAMPLED_PAIR_BUDGET_BYTES = 600
 # (isqrt(den-1)+1 == CEIL(SQRT(den)) for every den >= 1; all values
 # at the gated SFs are exact in doubles), and the same
 # hexint(doc_id) % keep == 0 member filter BEFORE pair generation.
+# The byte factor is interpolated from the SHARED module constant
+# (operators/dedup.PAIR_GUARD_BYTES_PER_PAIR) — only the keep FORMULA
+# itself is duplicated as SQL, and pair_volume_guard's docstring pins
+# that coupling.
+from ..operators.dedup import PAIR_GUARD_BYTES_PER_PAIR as _BPP  # noqa: E402
+
 _MINHASH_SAMPLED_ORACLE = (
     _SHINGLES_CTE
     + _MINHASH_BANDS_CTES
@@ -264,9 +292,9 @@ _MINHASH_SAMPLED_ORACLE = (
       SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS pairs
       FROM (SELECT COUNT(*) AS c FROM bands GROUP BY band, band_key)
     ), keepv AS (
-      SELECT CASE WHEN pairs * 12 <= {_SAMPLED_PAIR_BUDGET_BYTES} THEN 1
+      SELECT CASE WHEN pairs * {_BPP} <= {_SAMPLED_PAIR_BUDGET_BYTES} THEN 1
                   ELSE CAST(CEIL(SQRT(CEIL(
-                    pairs * 12.0 / {_SAMPLED_PAIR_BUDGET_BYTES}))) AS BIGINT)
+                    pairs * {_BPP}.0 / {_SAMPLED_PAIR_BUDGET_BYTES}))) AS BIGINT)
              END AS keep
       FROM probe
     ), sbands AS (
@@ -317,13 +345,7 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = hashed_shingles(
-        word_shingles(docs, "doc_id", "text", n=3), "doc_id", cross_engine=True
-    )
-    sigs = minhash_signatures(sh, "doc_id", n_hashes=8, prehashed=True)
-    bands = lsh_band_keys(
-        sigs, "doc_id", rows_per_band=2, long_keys=True, cross_engine=True
-    )
+    bands = minhash_band_frame(docs, n_bands=4, rows_per_band=2)
     bands = pair_volume_guard(
         bands, ["band", "band_key"], "doc_id",
         worst_case_pairs=_minhash_worst_case_pairs(docs, n_bands=4),
@@ -351,16 +373,14 @@ def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = hashed_shingles(
-        word_shingles(docs, "doc_id", "text", n=3), "doc_id", cross_engine=True
-    )
-    sigs = minhash_signatures(sh, "doc_id", n_hashes=8, prehashed=True)
-    bands = lsh_band_keys(
-        sigs, "doc_id", rows_per_band=2, long_keys=True, cross_engine=True
-    )
+    bands = minhash_band_frame(docs, n_bands=4, rows_per_band=2)
     bands = pair_volume_guard(
         bands, ["band", "band_key"], "doc_id",
         budget_bytes=_SAMPLED_PAIR_BUDGET_BYTES, mode="sample",
+        # the probe ALWAYS executes here (600 B budget) — persist the
+        # band frame across probe + real run so the minhash pipeline
+        # is computed once, not twice (round-12 ADVICE)
+        persist_on_probe=True,
     )
     return lsh_candidates(bands, "doc_id")
 

@@ -832,8 +832,28 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-cluster pairs via the hot-bucket sub-split join: per-task
     # pair output bounded by chunk_target² even when assignment piles
     # into a few dense clusters
-    from ..operators.dedup import chunked_self_pairs
+    from ..operators.dedup import chunked_self_pairs, replicated_volume_guard
 
+    # Pre-flight disk gate (round 13) with the CHUNK-SPLIT cost model:
+    # the pair stream here is generated in-task and streamed straight
+    # into the cos >= tau filter before any exchange (only the few
+    # survivors reach the dup groupBy), so — exactly as for simhash —
+    # the disk consumer is the REPLICATED chunk-join input, each row
+    # carrying a 64-float embedding payload (~320 B vs the guard's
+    # 48 B default). Worst case (every vector assigned to ONE cluster)
+    # is free from the count the sizing already did: n·(ceil(n/256)+1)
+    # rows — at the driver SFs and sf0.1 that fits any real budget, so
+    # the probe is skipped and the gates/bench pay nothing; on a
+    # degenerate assignment at corpus scale the guard fails fast with
+    # the measured projection or member-samples under mode='sample'.
+    mem = replicated_volume_guard(
+        mem,
+        ["cent_id"],
+        "vec_id",
+        chunk_target=256,
+        bytes_per_row=320,
+        worst_case_rows=n * (-(-n // 256) + 1),
+    )
     pairs = chunked_self_pairs(
         mem, ["cent_id"], "vec_id", ["embedding", "nrm"], chunk_target=256
     ).select(
@@ -1000,6 +1020,15 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="vec_id",
     ).select(F.col("vec_id").alias("s_id"), "cent_id", "se", "sn")
     assign_i = assigned(tag_i)
+    # Volume-guard adjudication (round 13): structurally bounded, no
+    # guard needed — this is a batch-vs-stored equi-join on cent_id, so
+    # the SHUFFLE carries each side exactly once (linear in |batch| +
+    # |stored|); the per-cluster cross products are generated in-task
+    # post-join and stream into the cos >= tau filter before any
+    # exchange, so no quadratic object ever hits disk. (CPU per task is
+    # |inc_c|·|stored_c| dots, bounded by the stride quantizer's ~64-
+    # member clusters; a degenerate single-cluster assignment bounds at
+    # |batch|·|stored| work but still linear shuffle bytes.)
     probe = (
         assign_i.join(
             tag_i.select("vec_id", "embedding", "nrm"), on="vec_id"
