@@ -155,10 +155,65 @@ def _stage_totals(spark) -> dict[str, int] | None:
         return None
 
 
+def _quiet_gate(full_run: bool, getloadavg=os.getloadavg, sleep=time.sleep) -> dict:
+    """Bounded pre-flight wait for a quiet box (round-13 judge item 2:
+    the r12 sf3 canonical started at loadavg 15.9 and was useless as a
+    cross-round comparator; the driver's own r12 bench started at 8.65
+    and read +19% on code that isolated controls showed ≤1.0x).
+
+    Waits up to SPARK_GRAFT_BENCH_QUIET_WAIT seconds (default 600) for
+    the 1-minute loadavg to drop below SPARK_GRAFT_BENCH_QUIET_LOADAVG
+    (default 4.0), then proceeds either way — the artifact records the
+    invoke/start loadavgs, the wait, and whether the gate gave up
+    (``overridden``), so a noisy stamp is LABELED, never blocked
+    forever. Applies to FULL-headline runs (the canonical stamps) by
+    default; subset runs (bench_control, audit_scaling's isolated
+    re-runs, slim decade families) skip it unless
+    SPARK_GRAFT_BENCH_QUIET=1 forces it — an adjudication re-run must
+    not stall ten minutes behind the very marathon it adjudicates.
+    SPARK_GRAFT_BENCH_QUIET=0 disables the gate entirely."""
+    force = os.environ.get("SPARK_GRAFT_BENCH_QUIET", "")
+    thr = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOADAVG", "4"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
+    invoke_load = getloadavg()[0]
+    rec = {
+        "threshold": thr,
+        "max_wait_sec": max_wait,
+        "loadavg_at_invoke": round(invoke_load, 2),
+        "waited_sec": 0.0,
+        "overridden": False,
+    }
+    enabled = force == "1" or (force != "0" and full_run)
+    rec["enabled"] = enabled
+    if not enabled or invoke_load < thr:
+        rec["loadavg_at_start"] = rec["loadavg_at_invoke"]
+        return rec
+    t0 = time.time()
+    load = invoke_load
+    while load >= thr and time.time() - t0 < max_wait:
+        sleep(min(15.0, max_wait / 4))
+        load = getloadavg()[0]
+    rec["waited_sec"] = round(time.time() - t0, 1)
+    rec["loadavg_at_start"] = round(load, 2)
+    rec["overridden"] = load >= thr
+    if rec["waited_sec"]:
+        print(
+            f"[quiet-gate] waited {rec['waited_sec']}s for loadavg "
+            f"{invoke_load:.1f} -> {load:.1f} (threshold {thr}"
+            f"{', OVERRIDDEN' if rec['overridden'] else ''})",
+            flush=True,
+        )
+    return rec
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # quiet-box gate BEFORE the session spins up (its own JVM adds load)
+    quiet_gate = _quiet_gate(
+        full_run=not os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    )
     _load_groups()
     spark = get_spark("welearn-bench")
     # warm the JVM + parquet footers so per-query times measure the
@@ -281,6 +336,7 @@ def main() -> None:
             "shuffle_write_mb": wr,
             "cold_total_sec": round(cold_total, 3),
             "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
+            "quiet_gate": quiet_gate,
         }
         if errors:
             detail["errors"] = errors
