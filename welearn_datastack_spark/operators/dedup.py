@@ -168,31 +168,36 @@ def jaccard_pairs(
     GUARDED (round 13): the pair stream here IS shuffled (the
     pair-count groupBy), so disk exposure is the quadratic
     Σ_buckets C(c,2) model — :func:`pair_volume_guard` pre-flights it
-    with ``persist_on_probe`` (the probe pass materializes the
-    shingle+size frame the real run reuses, so the guarded pipeline is
-    computed once). Registered callers are row-budget-sampled to
-    ≤ _JACCARD_DOC_BUDGET documents (plans/q_dedup.py), which bounds
-    the probe's own cost at roughly sf0.1 forever — that, not a
-    worst-case formula, is their skip argument; library callers on
-    unbudgeted corpora get the full fail/sample doctrine (pass
-    ``worst_case_pairs`` when a free bound exists, ``guard=False``
-    only when an outer guard already covers the same buckets)."""
-    if size_col is None:
-        shingles = shingles.withColumn(
-            "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-        )
-        size_col = "__sz"
+    on the pre-window shingle frame. Registered callers are
+    row-budget-sampled to ≤ _JACCARD_DOC_BUDGET documents
+    (plans/q_dedup.py), which bounds the probe's own cost at roughly
+    sf0.1 forever — that, not a worst-case formula, is their skip
+    argument — and the probe-verdict memo (_PROBE_MEMO) makes repeat
+    builds of the same plan (bench warm passes) probe-free; library
+    callers on unbudgeted corpora get the full fail/sample doctrine
+    (pass ``worst_case_pairs`` when a free bound exists,
+    ``guard=False`` only when an outer guard already covers the same
+    buckets)."""
     if guard:
-        # 4-long pair rows (a_id, b_id, sa, sb): ~2x the 2-long minhash
-        # stream's measured 9.7 B/pair compressed shuffle footprint
+        # guard BEFORE the size window (bucket counts don't need sizes,
+        # so the probe plan is the bare shingle pipeline — measured
+        # ~0.55 s vs ~1.1 s for the window-carrying plan at sf0.1; the
+        # sample branch keeps whole documents either way, so per-doc
+        # sizes computed after the filter are the kept docs' true
+        # sizes). 4-long pair rows (a_id, b_id, sa, sb): ~2x the 2-long
+        # minhash stream's measured 9.7 B/pair compressed footprint.
         shingles = pair_volume_guard(
             shingles,
             ["shingle"],
             id_col,
             bytes_per_pair=24,
             worst_case_pairs=worst_case_pairs,
-            persist_on_probe=True,
         )
+    if size_col is None:
+        shingles = shingles.withColumn(
+            "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        size_col = "__sz"
     pairs = chunked_self_pairs(
         shingles, ["shingle"], id_col, [size_col], chunk_target=chunk_target
     ).select(
@@ -363,6 +368,16 @@ def _pair_guard_budget(spark, budget_bytes: int | None) -> int:
     return free // 2
 
 
+# probe-verdict memo: (applicationId, semanticHash(bucketed), model key)
+# → measured units. Within one session the parquet inputs under a plan
+# are immutable, so an identical bucketed plan re-probed (bench passes
+# 2..n of the same query, repeat driver gates) reuses the first pass's
+# measurement instead of re-running the aggregation job — the guard's
+# steady-state cost on warm passes is zero. Keyed by applicationId so a
+# new session never inherits stale verdicts.
+_PROBE_MEMO: dict[tuple, int] = {}
+
+
 def _volume_guard(
     bucketed: DataFrame,
     bucket_cols: list[str],
@@ -373,6 +388,7 @@ def _volume_guard(
     keep_fn,
     fail_msg,
     log_label: str,
+    probe_key: str,
     worst_case_units: int | None = None,
     budget_bytes: int | None = None,
     mode: str | None = None,
@@ -404,22 +420,38 @@ def _volume_guard(
     budget = _pair_guard_budget(spark, budget_bytes)
     if worst_case_units is not None and worst_case_units * unit_bytes <= budget:
         return bucketed
-    if persist_on_probe:
-        from pyspark import StorageLevel
+    try:
+        memo_key = (
+            spark.sparkContext.applicationId,
+            bucketed.semanticHash(),
+            tuple(bucket_cols),
+            probe_key,
+        )
+    except Exception:  # noqa: BLE001 — memo is an optimization, never a gate
+        memo_key = None
+    persisted = False
+    if memo_key is not None and memo_key in _PROBE_MEMO:
+        units = _PROBE_MEMO[memo_key]
+    else:
+        if persist_on_probe:
+            from pyspark import StorageLevel
 
-        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
-    row = (
-        bucketed.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(probe_expr.alias("__units"))
-        .first()
-    )
-    units = int(row["__units"] or 0)
+            bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted = True
+        row = (
+            bucketed.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(probe_expr.alias("__units"))
+            .first()
+        )
+        units = int(row["__units"] or 0)
+        if memo_key is not None:
+            _PROBE_MEMO[memo_key] = units
     projected = units * unit_bytes
     if projected <= budget:
         return bucketed
     if mode == "fail":
-        if persist_on_probe:
+        if persisted:
             bucketed.unpersist()
         raise PairVolumeExceeded(
             fail_msg(units, projected, budget), units, projected, budget
@@ -513,6 +545,7 @@ def pair_volume_guard(
         keep_fn=lambda den: math.isqrt(den - 1) + 1,
         fail_msg=msg,
         log_label="pair_volume_guard",
+        probe_key="pairs",
         worst_case_units=worst_case_pairs,
         budget_bytes=budget_bytes,
         mode=mode,
@@ -580,6 +613,7 @@ def replicated_volume_guard(
         keep_fn=lambda den: den,
         fail_msg=msg,
         log_label="replicated_volume_guard",
+        probe_key=f"repl{chunk_target}",
         worst_case_units=worst_case_rows,
         budget_bytes=budget_bytes,
         mode=mode,
