@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from welearn_datastack_spark.operators.dedup import (  # noqa: E402
     PAIR_GUARD_BYTES_PER_PAIR,
+    REPL_GUARD_BYTES_PER_ROW,
     hashed_shingles,
     simhash,
     word_shingles,
@@ -47,7 +48,8 @@ def _probe(bucketed, bucket_cols, expr) -> int:
     return int(row["__u"] or 0)
 
 
-PAIRS = F.sum(F.col("__c") * (F.col("__c") - 1) / 2)
+def PAIRS():
+    return F.sum(F.col("__c") * (F.col("__c") - 1) / 2)
 
 
 def repl(chunk_target: int):
@@ -74,7 +76,7 @@ def main() -> None:
 
     # 1. minhash candidates (quadratic pair model, 12 B/pair)
     bands = minhash_band_frame(docs, n_bands=4, rows_per_band=2)
-    pairs = _probe(bands, ["band", "band_key"], PAIRS)
+    pairs = _probe(bands, ["band", "band_key"], PAIRS())
     rows.append(("minhash_lsh_candidates_hashed", "pairs", pairs,
                  pairs * PAIR_GUARD_BYTES_PER_PAIR))
 
@@ -82,7 +84,7 @@ def main() -> None:
     #    on the row-budget sample the registered queries run)
     sdocs, den = _sampled_baseline_docs(docs)
     sh = hashed_shingles(word_shingles(sdocs, "doc_id", "text", n=3), "doc_id")
-    jp = _probe(sh, ["shingle"], PAIRS)
+    jp = _probe(sh, ["shingle"], PAIRS())
     rows.append((f"ngram_jaccard_pairs_hashed (den={den})", "pairs", jp, jp * 24))
 
     # 3. simhash (replicated chunk-split model, 48 B/row)
@@ -97,7 +99,7 @@ def main() -> None:
         F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit((1 << width) - 1)),
     )
     sr = _probe(banded, ["band", "band_key"], repl(256))
-    rows.append(("simhash_near_pairs", "repl_rows", sr, sr * 48))
+    rows.append(("simhash_near_pairs", "repl_rows", sr, sr * REPL_GUARD_BYTES_PER_ROW))
 
     # 4. semantic dedup (replicated model over cluster assignment,
     #    320 B/row embedding payload)

@@ -477,6 +477,11 @@ def _volume_guard(
 # arithmetic's byte factor.
 PAIR_GUARD_BYTES_PER_PAIR = 12
 
+# default disk cost of one replicated chunk-join input row (compressed
+# shuffle; see replicated_volume_guard's docstring for the sf3
+# calibration: 1.249 GB / 119.7 M rows ≈ 10.4 B + 25% headroom)
+REPL_GUARD_BYTES_PER_ROW = 13
+
 
 def pair_volume_guard(
     bucketed: DataFrame,
@@ -559,7 +564,7 @@ def replicated_volume_guard(
     id_col: str,
     *,
     chunk_target: int = 256,
-    bytes_per_row: int = 48,
+    bytes_per_row: int = REPL_GUARD_BYTES_PER_ROW,
     worst_case_rows: int | None = None,
     budget_bytes: int | None = None,
     mode: str | None = None,
@@ -569,6 +574,18 @@ def replicated_volume_guard(
     shape, and semantic dedup's) — the sibling of
     :func:`pair_volume_guard` with the correct cost model for ops
     whose pair rows never touch disk.
+
+    ``bytes_per_row`` default 13 is measurement-calibrated like the
+    pair model's 12 (round 13, SCALE.md §24): the exact probe at sf3
+    counts 119.7 M replicated simhash rows against r12's measured
+    1.249 GB shuffle write → ~10.4 B/row COMPRESSED on disk, +25%
+    headroom. (The round-12 default of 48 B was the uncompressed row
+    width; §23.6's "projects ~1.1 GB vs 1.25 GB measured" agreement
+    was two offsetting errors — a uniform-bucket row undercount ×
+    the uncompressed byte factor — exposed when the probe was run
+    exactly. Callers whose replicated rows carry poorly-compressing
+    payloads must override: semantic dedup passes 320 for its
+    64-float embedding column.)
 
     `chunked_self_pairs`/`simhash_near_pairs` generate each bucket's
     pairs IN-TASK after the shuffle and either dedup them by
