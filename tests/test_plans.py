@@ -173,9 +173,23 @@ _EXCHANGE_BUDGET = {
     # chunked_self_pairs so no task materializes a mega-bucket's pair
     # array) + pair dedup
     "minhash_lsh_candidates": 7,
-    "minhash_lsh_candidates_hashed": 7,  # same plan, 8-byte keys
-    "ngram_jaccard_pairs": 3,      # shingle agg + bucket pairs + jaccard agg
-    "ngram_jaccard_pairs_hashed": 3,     # same plan, 8-byte keys
+    # same plan, 8-byte keys — PLUS 2 when the session already ran
+    # minhash_lsh_candidates_sampled: its persist_on_probe caches the
+    # shared band frame (minhash_band_frame), and reading it back
+    # through the InMemoryRelation boundary drops the doc_id-clustering
+    # elision (AQE-cached plans report UnknownPartitioning), so
+    # EnsureRequirements re-adds two NARROW band-row exchanges. The
+    # trade is deliberate: the cached reuse measured −35% on the
+    # family at sf3 (SCALE.md §24.2) and both exchanges carry
+    # |D|·n_bands 8-byte-key rows.
+    "minhash_lsh_candidates_hashed": 9,
+    # round-13 rewrite: shingle agg + the chunk-split's pinned bucket
+    # and 2 chunk-pair repartitions (off the collect_list OOM-bomb
+    # idiom, same as lsh_candidates since round 10) + pair-count agg +
+    # jaccard agg — growth beyond this means ANOTHER shuffle joined
+    # the pair stream
+    "ngram_jaccard_pairs": 7,
+    "ngram_jaccard_pairs_hashed": 7,     # same plan, 8-byte keys
     # first-owner shingle agg + owner join-back + coverage dedup +
     # kept anti-join + rebuild agg (last three doc-keyed; elide under
     # a doc-bucketed layout)
@@ -229,8 +243,10 @@ _EXCHANGE_BUDGET = {
     # candidate leg (minhash agg + band agg + sub-split pins + pair
     # dedup) meet in one (a_id, b_id) join + the decile rollup — all
     # keys are ids or narrow hashes on the row-budget sample
-    "lsh_dedup_recall": 12,
-    "lsh_dedup_recall_wide": 12,  # same plan at (b=8, r=2) sizing
+    # +4 in round 13: the truth leg's jaccard_pairs now rides the
+    # chunk-split join (see ngram_jaccard_pairs above)
+    "lsh_dedup_recall": 16,
+    "lsh_dedup_recall_wide": 16,  # same plan at (b=8, r=2) sizing
     # returned plan reads the two PINNED frames (prs splice pipeline +
     # shared 16-perm signatures, both localCheckpointed — bounded by
     # the row budget): two band aggs, two pair-scoped left_semi
