@@ -129,10 +129,14 @@ def test_persist_on_probe_caches_and_fail_branch_releases(spark):
     assert out.storageLevel.useMemory
     out.unpersist()
     # fail: the persist must be RELEASED before the raise (a guarded
-    # query that declines to run must not leak executor storage)
+    # query that declines to run must not leak executor storage).
+    # chunk_target differs from the call above so the probe_key is
+    # distinct — a _PROBE_MEMO hit would skip the persist entirely and
+    # make this assertion vacuous (round-13 review finding)
     with pytest.raises(PairVolumeExceeded):
         replicated_volume_guard(
-            df, ["b", "bk"], "doc_id", budget_bytes=10, persist_on_probe=True
+            df, ["b", "bk"], "doc_id", budget_bytes=10,
+            chunk_target=128, persist_on_probe=True,
         )
     assert not df.storageLevel.useMemory and not df.storageLevel.useDisk
     # and a later guarded run is unaffected by the released cache

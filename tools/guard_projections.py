@@ -3,10 +3,16 @@
 the numbers SCALE.md §24's projected-vs-measured table records at sf3.
 
 For every guarded diagnostic this runs EXACTLY the probe aggregation
-its guard runs (same bucket frame, same cost model, same byte factor)
-and prints the projection, whether the worst-case hint would have
-skipped the probe under the given budget, and the guard's verdict at
-that budget. Aggregation-only — no pair row is ever built.
+its guard runs — the bucket frames come from the SAME shared builders
+the queries use (plans.q_dedup.minhash_band_frame,
+operators.dedup.simhash_band_frame, plans.q_ml
+.semantic_assignment_frames), so a parameter change in a gated
+pipeline cannot silently diverge this tool — with the same cost model
+and the same shared byte-factor constants. Each record carries the
+projection, whether the op's worst-case hint would have SKIPPED the
+probe at the given budget (the guard's zero-cost path; jaccard has no
+free hint — its skip argument is the row budget), and the fail/fits
+verdict. Aggregation-only — no pair row is ever built.
 
 Usage:
     python tools/guard_projections.py /tmp/welearn_sf3 [--budget 40g]
@@ -21,14 +27,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from welearn_datastack_spark.operators.dedup import (  # noqa: E402
+    JACCARD_GUARD_BYTES_PER_PAIR,
     PAIR_GUARD_BYTES_PER_PAIR,
     REPL_GUARD_BYTES_PER_ROW,
     hashed_shingles,
     simhash,
+    simhash_band_frame,
     word_shingles,
 )
 from welearn_datastack_spark.session import get_spark  # noqa: E402
@@ -66,80 +73,63 @@ def main() -> None:
         _sampled_baseline_docs,
         minhash_band_frame,
     )
+    from welearn_datastack_spark.plans.q_ml import semantic_assignment_frames
     from welearn_datastack_spark.sources.tables import _size_to_bytes
 
     budget = _size_to_bytes(args.budget) if args.budget else None
 
     docs = fan_out_for_compute(load_table(spark, args.sf_dir, "documents"))
+    n_docs = docs.count()
 
+    # rows: (op, unit, units, projected_bytes, worst_case_bytes | None)
     rows = []
 
-    # 1. minhash candidates (quadratic pair model, 12 B/pair)
+    # 1. minhash candidates (quadratic pair model): worst case =
+    #    n_bands * C(n, 2) pairs (the hint minhash_lsh_hashed_q passes)
     bands = minhash_band_frame(docs, n_bands=4, rows_per_band=2)
     pairs = _probe(bands, ["band", "band_key"], PAIRS())
-    rows.append(("minhash_lsh_candidates_hashed", "pairs", pairs,
-                 pairs * PAIR_GUARD_BYTES_PER_PAIR))
+    rows.append((
+        "minhash_lsh_candidates_hashed", "pairs", pairs,
+        pairs * PAIR_GUARD_BYTES_PER_PAIR,
+        4 * (n_docs * (n_docs - 1) // 2) * PAIR_GUARD_BYTES_PER_PAIR,
+    ))
 
-    # 2. jaccard (quadratic pair model over shingle buckets, 24 B/pair,
-    #    on the row-budget sample the registered queries run)
+    # 2. jaccard (quadratic pair model over shingle buckets, on the
+    #    row-budget sample the registered queries run; no free
+    #    worst-case hint exists — the row budget is the skip argument)
     sdocs, den = _sampled_baseline_docs(docs)
     sh = hashed_shingles(word_shingles(sdocs, "doc_id", "text", n=3), "doc_id")
     jp = _probe(sh, ["shingle"], PAIRS())
-    rows.append((f"ngram_jaccard_pairs_hashed (den={den})", "pairs", jp, jp * 24))
+    rows.append((
+        f"ngram_jaccard_pairs_hashed (den={den})", "pairs", jp,
+        jp * JACCARD_GUARD_BYTES_PER_PAIR, None,
+    ))
 
-    # 3. simhash (replicated chunk-split model, 48 B/row)
-    fp = simhash(docs, "doc_id", "text", bits=16)
-    width = 16 // 4
-    banded = fp.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-        F.col("simhash"),
-    ).withColumn(
-        "band_key",
-        F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit((1 << width) - 1)),
+    # 3. simhash (replicated chunk-split model): worst case =
+    #    n_bands * n * (ceil(n/256)+1) rows (simhash_near_pairs' hint)
+    banded = simhash_band_frame(
+        simhash(docs, "doc_id", "text", bits=16), "doc_id", bits=16, n_bands=4
     )
     sr = _probe(banded, ["band", "band_key"], repl(256))
-    rows.append(("simhash_near_pairs", "repl_rows", sr, sr * REPL_GUARD_BYTES_PER_ROW))
+    rows.append((
+        "simhash_near_pairs", "repl_rows", sr, sr * REPL_GUARD_BYTES_PER_ROW,
+        4 * n_docs * (-(-n_docs // 256) + 1) * REPL_GUARD_BYTES_PER_ROW,
+    ))
 
-    # 4. semantic dedup (replicated model over cluster assignment,
-    #    320 B/row embedding payload)
-    from welearn_datastack_spark.operators.similarity import (
-        bucket_key_col,
-        bucket_pruned_assign,
-        derive_planes,
-        l2_norm,
-        sem_assign_bits,
-        stride_centroid_params,
-    )
-
+    # 4. semantic dedup (replicated model, 320 B/row embedding payload):
+    #    worst case = n * (ceil(n/256)+1) rows (semantic_dedup_flags')
     emb = load_table(spark, args.sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    n = emb.count()
-    stride, off = stride_centroid_params(n)
-    planes = derive_planes(seed=211, n_bits=sem_assign_bits(n), dims=64)
-    tagged = emb.select(
-        "vec_id",
-        "embedding",
-        l2_norm(F.col("embedding")).alias("nrm"),
-        bucket_key_col(F.col("embedding"), planes).alias("bk"),
-    )
-    cents = tagged.filter(F.col("vec_id") % stride == off).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cnrm"),
-        "bk",
-    )
-    best = bucket_pruned_assign(tagged, cents)
-    assign = (
-        emb.select("vec_id")
-        .join(best, on="vec_id", how="left")
-        .select("vec_id", F.coalesce("cent_id", "vec_id").alias("cent_id"))
-    )
+    n_vec = emb.count()
+    _tagged, assign = semantic_assignment_frames(emb, n_vec)
     sm = _probe(assign, ["cent_id"], repl(256))
-    rows.append(("semantic_dedup_flags", "repl_rows", sm, sm * 320))
+    rows.append((
+        "semantic_dedup_flags", "repl_rows", sm, sm * 320,
+        n_vec * (-(-n_vec // 256) + 1) * 320,
+    ))
 
-    for name, unit, units, projected in rows:
+    for name, unit, units, projected, worst in rows:
         rec = {
             "op": name,
             "unit": unit,
@@ -147,7 +137,11 @@ def main() -> None:
             "projected_bytes": projected,
             "projected_mb": round(projected / 1e6, 1),
         }
+        if worst is not None:
+            rec["worst_case_mb"] = round(worst / 1e6, 1)
         if budget:
+            if worst is not None:
+                rec["skipped_by_hint"] = worst <= budget
             rec["verdict_at_budget"] = "fail" if projected > budget else "fits"
         print(json.dumps(rec), flush=True)
 

@@ -74,6 +74,10 @@ def main() -> int:
     ap.add_argument("--skip-stamps", action="store_true", help="sweeps + plans only")
     ap.add_argument("--skip-plans", action="store_true")
     ap.add_argument(
+        "--force", action="store_true",
+        help="proceed to plans/stamps even after oracle-sweep failures",
+    )
+    ap.add_argument(
         "--stamp-runs", type=int, default=3,
         help="bench passes per canonical stamp (sf0.1 uses bench.py's default 5)",
     )
@@ -91,6 +95,14 @@ def main() -> int:
         rc = _stream([py, str(REPO / "tools" / "check_oracle.py"), sf_dir], out)
         if rc != 0:
             failures.append(f"oracle sweep {sf_dir} (exit {rc}) — see {out}")
+
+    # Correctness gates are red → do NOT burn hours of quiet-gated
+    # bench time stamping canonicals for a broken build (and never
+    # overwrite the latest_sf*.json series with its timings)
+    if failures and not args.force:
+        print("\nROUND-CLOSE ABORTED after sweep failures (use --force to "
+              "override):\n  " + "\n  ".join(failures))
+        return 1
 
     # 3: plan dump (changes whenever HEADLINE or a query plan moved)
     if not args.skip_plans:

@@ -184,13 +184,12 @@ def jaccard_pairs(
         # ~0.55 s vs ~1.1 s for the window-carrying plan at sf0.1; the
         # sample branch keeps whole documents either way, so per-doc
         # sizes computed after the filter are the kept docs' true
-        # sizes). 4-long pair rows (a_id, b_id, sa, sb): ~2x the 2-long
-        # minhash stream's measured 9.7 B/pair compressed footprint.
+        # sizes).
         shingles = pair_volume_guard(
             shingles,
             ["shingle"],
             id_col,
-            bytes_per_pair=24,
+            bytes_per_pair=JACCARD_GUARD_BYTES_PER_PAIR,
             worst_case_pairs=worst_case_pairs,
         )
     if size_col is None:
@@ -412,7 +411,15 @@ def _volume_guard(
     (MEMORY_AND_DISK) before probing so the probe pass materializes
     the same computation the real run then reuses — the guarded
     pipeline is computed ONCE, not twice; on the fail branch the
-    persist is released before raising."""
+    persist is released before raising. On the pass/sample branches
+    the cache deliberately OUTLIVES the query: later builds of the
+    same plan (bench warm passes, sibling queries sharing the frame —
+    e.g. the hashed minhash query after the sampled one) resolve to it
+    via Spark's CacheManager, which is where the measured −35%
+    family win at sf3 comes from; the footprint is the linear bucketed
+    input (never pairs) and MEMORY_AND_DISK evicts LRU under
+    pressure. Callers wanting a strictly transient cache can
+    ``unpersist()`` the returned frame after their sink."""
     spark = bucketed.sparkSession
     mode = _pair_guard_mode(spark, mode)
     if mode == "off":
@@ -481,6 +488,11 @@ PAIR_GUARD_BYTES_PER_PAIR = 12
 # shuffle; see replicated_volume_guard's docstring for the sf3
 # calibration: 1.249 GB / 119.7 M rows ≈ 10.4 B + 25% headroom)
 REPL_GUARD_BYTES_PER_ROW = 13
+
+# jaccard's 4-long pair rows (a_id, b_id, sa, sb): ~2x the 2-long
+# minhash stream's measured 9.7 B/pair compressed footprint. Shared
+# with tools/guard_projections.py.
+JACCARD_GUARD_BYTES_PER_PAIR = 24
 
 
 def pair_volume_guard(
@@ -861,6 +873,29 @@ def chunked_self_pairs(
     return joined.select(*out)
 
 
+def simhash_band_frame(
+    fingerprints: DataFrame, id_col: str, bits: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """The banded simhash frame exactly as :func:`simhash_near_pairs`
+    builds it before its guard — (id_col, simhash, band, band_key),
+    one row per (doc, band), band_key = that band's bit slice. Shared
+    with tools/guard_projections.py so the projection tool measures
+    the SAME bucket frame the guard gates (the drift hazard
+    minhash_band_frame closed for pair_probe)."""
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    return fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        # F.shiftright only takes a literal shift — the per-row band
+        # offset needs the SQL form
+        "band_key",
+        F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit(mask)),
+    )
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str,
@@ -907,16 +942,7 @@ def simhash_near_pairs(
     assert chunk_target >= 1, "chunk_target must be a positive chunk size"
     width = bits // n_bands
     mask = (1 << width) - 1
-    banded = fingerprints.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        # F.shiftright only takes a literal shift — the per-row band
-        # offset needs the SQL form
-        "band_key",
-        F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit(mask)),
-    )
+    banded = simhash_band_frame(fingerprints, id_col, bits=bits, n_bands=n_bands)
     # The join INPUT is tiny in bytes but its OUTPUT is the near-
     # quadratic pair stream — exactly the shape AQE's size-based
     # partition coalescing mis-reads (it sees KBs of shuffle data and

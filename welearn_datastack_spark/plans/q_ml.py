@@ -752,6 +752,56 @@ FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
 )
 
 
+def semantic_assignment_frames(
+    emb: DataFrame, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """(tagged, assign) exactly as semantic_dedup_flags builds them —
+    the corpus-sized quantizer (stride centroids + sign-bucket-pruned
+    assignment, seed 211) with self-assigned singletons. Shared with
+    tools/guard_projections.py so the projection tool probes the SAME
+    cluster frame the guard gates (the drift hazard minhash_band_frame
+    closed for pair_probe)."""
+    from ..operators.similarity import (
+        bucket_key_col,
+        bucket_pruned_assign,
+        derive_planes,
+        l2_norm,
+        sem_assign_bits,
+        stride_centroid_params,
+    )
+
+    stride, off = stride_centroid_params(n)
+    planes = derive_planes(seed=211, n_bits=sem_assign_bits(n), dims=64)
+    # bucket-pruned assignment (the IVF-probe pruning, deterministic):
+    # scoring every vector against every centroid is n·k ≈ n²/64 dots
+    # — quadratic, and measured as 102 of 116 s at sf1. Instead each
+    # vector scores ONLY the ~4 centroids sharing its sign-bucket;
+    # bucketless vectors self-assign as singleton clusters.
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        bucket_key_col(F.col("embedding"), planes).alias("bk"),
+    )
+    cents = tagged.filter(F.col("vec_id") % stride == off).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+        "bk",
+    )
+    # centroids are the BROADCAST side (k rows — never the corpus);
+    # the arg-max is map-side-combinable (operators/similarity.
+    # bucket_pruned_assign, shared with the incremental variant)
+    best = bucket_pruned_assign(tagged, cents)
+    assign = (
+        emb.select("vec_id")
+        .join(best, on="vec_id", how="left")
+        .select("vec_id", F.coalesce("cent_id", "vec_id").alias("cent_id"))
+    )
+    return tagged, assign
+
+
+
 @register(
     "semantic_dedup_flags",
     _SEMDEDUP_ORACLE,
@@ -776,14 +826,7 @@ FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
     "min-id member of each semantic-dup group is kept.",
 )
 def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import (
-        bucket_key_col,
-        derive_planes,
-        dot,
-        l2_norm,
-        sem_assign_bits,
-        stride_centroid_params,
-    )
+    from ..operators.similarity import dot
 
     par = spark.sparkContext.defaultParallelism
     # repartition BEFORE the fold-heavy map stages: a small parquet
@@ -793,36 +836,7 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # noise
     emb = load_table(spark, sf_dir, "embeddings").repartition(par)
     n = emb.count()
-    stride, off = stride_centroid_params(n)
-    planes = derive_planes(seed=211, n_bits=sem_assign_bits(n), dims=64)
-    # bucket-pruned assignment (the IVF-probe pruning, deterministic):
-    # scoring every vector against every centroid is n·k ≈ n²/64 dots
-    # — quadratic, and measured as 102 of 116 s at sf1. Instead each
-    # vector scores ONLY the ~4 centroids sharing its sign-bucket;
-    # bucketless vectors self-assign as singleton clusters.
-    tagged = emb.select(
-        "vec_id",
-        "embedding",
-        l2_norm(F.col("embedding")).alias("nrm"),
-        bucket_key_col(F.col("embedding"), planes).alias("bk"),
-    )
-    cents = tagged.filter(F.col("vec_id") % stride == off).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cnrm"),
-        "bk",
-    )
-    # centroids are the BROADCAST side (k rows — never the corpus);
-    # the arg-max is map-side-combinable (operators/similarity.
-    # bucket_pruned_assign, shared with the incremental variant)
-    from ..operators.similarity import bucket_pruned_assign
-
-    best = bucket_pruned_assign(tagged, cents)
-    assign = (
-        emb.select("vec_id")
-        .join(best, on="vec_id", how="left")
-        .select("vec_id", F.coalesce("cent_id", "vec_id").alias("cent_id"))
-    )
+    tagged, assign = semantic_assignment_frames(emb, n)
     # norms are computed ONCE per vector (tagged), not per pair — the
     # pair stage is the quadratic part (|cluster|² dots), so pushing
     # the two 64-element norm folds out of it cuts per-pair work ~3x
@@ -840,7 +854,8 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors reach the dup groupBy), so — exactly as for simhash —
     # the disk consumer is the REPLICATED chunk-join input, each row
     # carrying a 64-float embedding payload (~320 B vs the guard's
-    # 48 B default). Worst case (every vector assigned to ONE cluster)
+    # REPL_GUARD_BYTES_PER_ROW = 13 compressed default). Worst case
+    # (every vector assigned to ONE cluster)
     # is free from the count the sizing already did: n·(ceil(n/256)+1)
     # rows — at the driver SFs and sf0.1 that fits any real budget, so
     # the probe is skipped and the gates/bench pay nothing; on a
