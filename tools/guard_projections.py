@@ -45,14 +45,18 @@ from welearn_datastack_spark.sources.tables import (  # noqa: E402
 )
 
 
-def _probe(bucketed, bucket_cols, expr) -> int:
+def _probe(bucketed, bucket_cols, expr) -> tuple[int, int]:
+    """(units, max bucket count) — the same two aggregates the guard's
+    probe measures; max_bucket is the adaptive-chunking certificate
+    (jaccard_pairs takes the un-split pair join when it stays at or
+    under chunk_target)."""
     row = (
         bucketed.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .agg(expr.alias("__u"))
+        .agg(expr.alias("__u"), F.max("__c").alias("__m"))
         .first()
     )
-    return int(row["__u"] or 0)
+    return int(row["__u"] or 0), int(row["__m"] or 0)
 
 
 def PAIRS():
@@ -87,11 +91,11 @@ def main() -> None:
     # 1. minhash candidates (quadratic pair model): worst case =
     #    n_bands * C(n, 2) pairs (the hint minhash_lsh_hashed_q passes)
     bands = minhash_band_frame(docs, n_bands=4, rows_per_band=2)
-    pairs = _probe(bands, ["band", "band_key"], PAIRS())
+    pairs, mh_max = _probe(bands, ["band", "band_key"], PAIRS())
     rows.append((
         "minhash_lsh_candidates_hashed", "pairs", pairs,
         pairs * PAIR_GUARD_BYTES_PER_PAIR,
-        4 * (n_docs * (n_docs - 1) // 2) * PAIR_GUARD_BYTES_PER_PAIR,
+        4 * (n_docs * (n_docs - 1) // 2) * PAIR_GUARD_BYTES_PER_PAIR, mh_max,
     ))
 
     # 2. jaccard (quadratic pair model over shingle buckets, on the
@@ -99,10 +103,10 @@ def main() -> None:
     #    worst-case hint exists — the row budget is the skip argument)
     sdocs, den = _sampled_baseline_docs(docs)
     sh = hashed_shingles(word_shingles(sdocs, "doc_id", "text", n=3), "doc_id")
-    jp = _probe(sh, ["shingle"], PAIRS())
+    jp, j_max = _probe(sh, ["shingle"], PAIRS())
     rows.append((
         f"ngram_jaccard_pairs_hashed (den={den})", "pairs", jp,
-        jp * JACCARD_GUARD_BYTES_PER_PAIR, None,
+        jp * JACCARD_GUARD_BYTES_PER_PAIR, None, j_max,
     ))
 
     # 3. simhash (replicated chunk-split model): worst case =
@@ -110,10 +114,10 @@ def main() -> None:
     banded = simhash_band_frame(
         simhash(docs, "doc_id", "text", bits=16), "doc_id", bits=16, n_bands=4
     )
-    sr = _probe(banded, ["band", "band_key"], repl(256))
+    sr, s_max = _probe(banded, ["band", "band_key"], repl(256))
     rows.append((
         "simhash_near_pairs", "repl_rows", sr, sr * REPL_GUARD_BYTES_PER_ROW,
-        4 * n_docs * (-(-n_docs // 256) + 1) * REPL_GUARD_BYTES_PER_ROW,
+        4 * n_docs * (-(-n_docs // 256) + 1) * REPL_GUARD_BYTES_PER_ROW, s_max,
     ))
 
     # 4. semantic dedup (replicated model, 320 B/row embedding payload):
@@ -123,19 +127,20 @@ def main() -> None:
     )
     n_vec = emb.count()
     _tagged, assign = semantic_assignment_frames(emb, n_vec)
-    sm = _probe(assign, ["cent_id"], repl(256))
+    sm, c_max = _probe(assign, ["cent_id"], repl(256))
     rows.append((
         "semantic_dedup_flags", "repl_rows", sm, sm * 320,
-        n_vec * (-(-n_vec // 256) + 1) * 320,
+        n_vec * (-(-n_vec // 256) + 1) * 320, c_max,
     ))
 
-    for name, unit, units, projected, worst in rows:
+    for name, unit, units, projected, worst, max_bucket in rows:
         rec = {
             "op": name,
             "unit": unit,
             "units": units,
             "projected_bytes": projected,
             "projected_mb": round(projected / 1e6, 1),
+            "max_bucket": max_bucket,
         }
         if worst is not None:
             rec["worst_case_mb"] = round(worst / 1e6, 1)

@@ -208,7 +208,9 @@ def _sampled_baseline_docs(docs: DataFrame) -> tuple[DataFrame, int]:
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
     sh = word_shingles(docs, "doc_id", "text", n=3)
-    return jaccard_pairs(sh, "doc_id", threshold=0.15).withColumn(
+    # guard_mode pinned: this query's oracle does not model member
+    # sampling, so a session-level mode=sample must not apply here
+    return jaccard_pairs(sh, "doc_id", threshold=0.15, guard_mode="fail").withColumn(
         "sample_den", F.lit(den).cast("int")
     )
 
@@ -230,7 +232,8 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
     sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=3), "doc_id")
-    return jaccard_pairs(sh, "doc_id", threshold=0.15).withColumn(
+    # guard_mode pinned: see ngram_jaccard_pairs
+    return jaccard_pairs(sh, "doc_id", threshold=0.15, guard_mode="fail").withColumn(
         "sample_den", F.lit(den).cast("int")
     )
 
@@ -322,6 +325,10 @@ def minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = pair_volume_guard(
         bands, ["band", "band_key"], "doc_id",
         worst_case_pairs=_minhash_worst_case_pairs(docs, n_bands=4),
+        # pinned: this query's oracle is the FULL candidate set — a
+        # session-level mode=sample would silently break hash parity
+        # (the sampled doctrine lives in minhash_lsh_candidates_sampled)
+        mode="fail",
     )
     return lsh_candidates(bands, "doc_id")
 
@@ -349,6 +356,10 @@ def minhash_lsh_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = pair_volume_guard(
         bands, ["band", "band_key"], "doc_id",
         worst_case_pairs=_minhash_worst_case_pairs(docs, n_bands=4),
+        # pinned: this query's oracle is the FULL candidate set — a
+        # session-level mode=sample would silently break hash parity
+        # (the sampled doctrine lives in minhash_lsh_candidates_sampled)
+        mode="fail",
     )
     return lsh_candidates(bands, "doc_id")
 
@@ -487,7 +498,11 @@ def _register_recall(name: str, n_hashes: int, rows_per_band: int, doc: str) -> 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
         sh = word_shingles(docs, "doc_id", "text", n=3)
-        pc = jaccard_pairs(sh, "doc_id", threshold=0.0, with_counts=True)
+        # guard_mode pinned: the recall oracle models the full truth
+        # pair set, not a sampled one
+        pc = jaccard_pairs(
+            sh, "doc_id", threshold=0.0, with_counts=True, guard_mode="fail"
+        )
         truth = pc.select(
             "a_id",
             "b_id",
@@ -1081,8 +1096,11 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     fp = simhash(docs, "doc_id", "text", bits=16)
+    # guard_mode pinned: the oracle is the full near-pair set — a
+    # session-level mode=sample must not silently subset it
     return simhash_near_pairs(
-        fp, "doc_id", bits=16, n_bands=4, max_hamming=3, n_docs=docs.count()
+        fp, "doc_id", bits=16, n_bands=4, max_hamming=3, n_docs=docs.count(),
+        guard_mode="fail",
     )
 
 

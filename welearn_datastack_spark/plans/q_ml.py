@@ -868,6 +868,13 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_target=256,
         bytes_per_row=320,
         worst_case_rows=n * (-(-n // 256) + 1),
+        # pinned: this query's oracle does not model member sampling
+        # (round-13 ADVICE), and when the probe DOES execute (worst-case
+        # hint missed the budget) the persisted frame is the linear mem
+        # frame — probe and real run then share one quantizer/assignment
+        # computation instead of computing it twice
+        mode="fail",
+        persist_on_probe=True,
     )
     pairs = chunked_self_pairs(
         mem, ["cent_id"], "vec_id", ["embedding", "nrm"], chunk_target=256
