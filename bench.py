@@ -206,6 +206,48 @@ def _quiet_gate(full_run: bool, getloadavg=os.getloadavg, sleep=time.sleep) -> d
     return rec
 
 
+def _cpu_spin(n: int = 5_000_000) -> float:
+    """Fixed pure-Python arithmetic loop — single-core interpreter
+    speed, independent of Spark. Part of the box-speed calibration."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x = (x * 1103515245 + i) & 0x7FFFFFFF
+    if x == -1:  # unreachable; keeps the loop un-foldable
+        print(x)
+    return time.perf_counter() - t0
+
+
+def _calibration(spark, rows: int = 20_000_000) -> dict:
+    """Box-speed calibration stamp (round-14 verdict item 2): a CONSTANT
+    seeded Spark micro-workload (range → xxhash64 → 64-group agg, no
+    input data, fixed partitioning) plus a pure-CPU spin, so every
+    artifact carries how fast THIS box was at stamp time. Cross-round
+    walls on this host move ±20-80% with invisible contention (r13:
+    81/91 byte-flat queries read +17% at sf1 on a quiet-gated start;
+    the same-box control measured r12 code at 1.8x its own stamp-day
+    number) — dividing walls by the same round's calib_sec turns that
+    adjudication into arithmetic. The Spark leg runs twice and keeps
+    the min (first pass pays one-time codegen for the calib plan)."""
+    cpu = _cpu_spin()
+    spark_sec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, rows, 1, 32)
+            # v bounded so sum() can never overflow long under ANSI
+            .selectExpr("xxhash64(id) % 64 AS g", "xxhash64(id + 1) % 1048576 AS v")
+            .groupBy("g")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+        spark_sec = dt if spark_sec is None else min(spark_sec, dt)
+    return {"cpu_sec": round(cpu, 3), "spark_sec": round(spark_sec, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -223,6 +265,14 @@ def main() -> None:
         if os.path.exists(f"{sf_dir}/{warm_table}.parquet"):
             spark.read.parquet(f"{sf_dir}/{warm_table}.parquet").count()
             break
+    # box-speed calibration BEFORE and AFTER the timing loop (subset
+    # runs too — they are the adjudication controls, exactly where a
+    # calibrated ratio is needed); SPARK_GRAFT_BENCH_CALIB=0 disables
+    calib: dict = {}
+    calib_on = os.environ.get("SPARK_GRAFT_BENCH_CALIB", "1") != "0"
+    if calib_on:
+        calib["pre"] = _calibration(spark)
+        print(f"[calib] pre {calib['pre']}", flush=True)
 
     # VARIANCE PROTOCOL (round 6 — cross-round deltas were noise-
     # polluted two rounds running, with untouched queries drifting
@@ -338,6 +388,12 @@ def main() -> None:
             "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
             "quiet_gate": quiet_gate,
         }
+        if calib:
+            spark_secs = [c["spark_sec"] for c in calib.values()]
+            detail["calibration"] = {
+                **calib,
+                "spark_mean_sec": round(sum(spark_secs) / len(spark_secs), 3),
+            }
         if errors:
             detail["errors"] = errors
         if guard_exits:
@@ -403,6 +459,9 @@ def main() -> None:
         # with nothing on disk — never again). The final write below
         # overwrites this with passes_done == runs.
         _write_artifact(passes_done=run_i + 1)
+    if calib_on:
+        calib["post"] = _calibration(spark)
+        print(f"[calib] post {calib['post']}", flush=True)
     detail = _write_artifact(passes_done=n_runs)
     total = detail["value"]
     shuffle_read_mb = detail["shuffle_read_mb"]
@@ -425,6 +484,7 @@ def main() -> None:
         "shuffle_read_mb": shuffle_read_mb,
         "shuffle_write_mb": shuffle_write_mb,
         "loadavg_1m": detail["loadavg_1m"],
+        "calib_sec": detail.get("calibration", {}).get("spark_mean_sec"),
         "artifact": (
             str(artifact.relative_to(artifact_dir.parent))
             if artifact.is_relative_to(artifact_dir.parent)

@@ -56,6 +56,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _calib_of(artifact: dict) -> float | None:
+    """The artifact's box-speed stamp (bench.py calibration block):
+    mean of the pre/post constant Spark micro-workload walls. None for
+    pre-round-14 artifacts."""
+    c = artifact.get("calibration")
+    return c.get("spark_mean_sec") if isinstance(c, dict) else None
+
+
 def _isolated_rerun(
     queries: list[str], sf_dir: str, runs: int, out_artifact: Path
 ) -> dict:
@@ -136,14 +144,22 @@ def main() -> int:
         byte_ratio = (bb / ba) if ba and bb else None
         rows.append((ratio, q, ta, tb, byte_ratio))
     rows.sort(reverse=True)
+    # box-speed calibration (round-14): when both artifacts carry the
+    # constant-workload stamp, report wall ratios DIVIDED by the box
+    # ratio alongside raw — the flags stay raw (conservative), the
+    # calibrated column is the number that transfers across days
+    calib_a, calib_b = _calib_of(a), _calib_of(b)
+    calib_ratio = (calib_b / calib_a) if calib_a and calib_b else None
     flagged: list[tuple[str, float, float, float | None]] = []
-    print(f"{'ratio':>7} {'flag':>4} {'t_a':>8} {'t_b':>8} {'bytes_r':>8}  query")
+    cal_hdr = f" {'cal_r':>7}" if calib_ratio else ""
+    print(f"{'ratio':>7}{cal_hdr} {'flag':>4} {'t_a':>8} {'t_b':>8} {'bytes_r':>8}  query")
     for ratio, q, ta, tb, byte_ratio in rows:
         flag = "***" if ratio > data_ratio else ""
         if flag:
             flagged.append((q, ratio, ta, byte_ratio))
         br = f"{byte_ratio:8.1f}" if byte_ratio is not None else "       -"
-        print(f"{ratio:7.2f} {flag:>4} {ta:8.2f} {tb:8.2f} {br}  {q}")
+        cal = f" {ratio / calib_ratio:7.2f}" if calib_ratio else ""
+        print(f"{ratio:7.2f}{cal} {flag:>4} {ta:8.2f} {tb:8.2f} {br}  {q}")
     tot_a = sum(a_med[q] for q in common)
     tot_b = sum(b_med[q] for q in common)
     print(
@@ -151,6 +167,15 @@ def main() -> int:
         f"({tot_b / tot_a:.2f}x for {data_ratio:.0f}x data); "
         f"{len(flagged)} super-linear (> {data_ratio:.1f}x)"
     )
+    if calib_ratio:
+        print(
+            f"box-speed calib: A {calib_a}s, B {calib_b}s -> box ratio "
+            f"{calib_ratio:.2f}x; calibrated totals ratio "
+            f"{(tot_b / tot_a) / calib_ratio:.2f}x for {data_ratio:.0f}x data"
+        )
+    else:
+        missing = [n for n, c in (("A", calib_a), ("B", calib_b)) if not c]
+        print(f"box-speed calib: absent on artifact(s) {missing} — raw ratios only")
     only_a = set(a_med) - set(b_med)
     only_b = set(b_med) - set(a_med)
     if only_a or only_b:
@@ -227,6 +252,9 @@ def main() -> int:
     meta = {
         "rule": "SCALE.md §21.7: wall flag + linear shuffle bytes + clean "
         "isolated fresh-JVM re-run ⇒ session state, not code",
+        "calib_a_sec": calib_a,
+        "calib_b_sec": calib_b,
+        "calib_box_ratio": round(calib_ratio, 3) if calib_ratio else None,
         "verdict_stat": "isolated_median_sec / A-median (like vs like; "
         "isolated_min_sec recorded as the steady-state floor)",
         "a": str(a_path),
