@@ -206,6 +206,24 @@ def _quiet_gate(full_run: bool, getloadavg=os.getloadavg, sleep=time.sleep) -> d
     return rec
 
 
+def _git_rev() -> str | None:
+    """Short rev (+ -dirty) of the tree this stamp measured — the
+    anchor tools/round_close.py's stale-stamp guard compares HEAD
+    against (round-14 verdict item 7: the r13 sf0.1 canonical predated
+    a post-close refactor and only a judge reading the diff could tell
+    it was still valid)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "describe", "--always", "--dirty"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — rev stamping must never fail a bench
+        return None
+
+
 def _cpu_spin(n: int = 5_000_000) -> float:
     """Fixed pure-Python arithmetic loop — single-core interpreter
     speed, independent of Spark. Part of the box-speed calibration."""
@@ -268,6 +286,7 @@ def main() -> None:
     # box-speed calibration BEFORE and AFTER the timing loop (subset
     # runs too — they are the adjudication controls, exactly where a
     # calibrated ratio is needed); SPARK_GRAFT_BENCH_CALIB=0 disables
+    git_rev = _git_rev()
     calib: dict = {}
     calib_on = os.environ.get("SPARK_GRAFT_BENCH_CALIB", "1") != "0"
     if calib_on:
@@ -387,6 +406,7 @@ def main() -> None:
             "cold_total_sec": round(cold_total, 3),
             "loadavg_1m": [round(load_before, 2), round(os.getloadavg()[0], 2)],
             "quiet_gate": quiet_gate,
+            "git_rev": git_rev,
         }
         if calib:
             spark_secs = [c["spark_sec"] for c in calib.values()]

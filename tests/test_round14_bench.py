@@ -79,3 +79,75 @@ def test_audit_scaling_degrades_without_calibration(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "raw ratios only" in proc.stdout
+
+
+# --- round_close stale-stamp guard + machine adjudication (verdict
+# items 4 and 7) ------------------------------------------------------
+
+
+def _round_close_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "round_close", REPO / "tools" / "round_close.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_stamp_staleness_branches(tmp_path):
+    rc = _round_close_mod()
+    missing = tmp_path / "nope.json"
+    assert rc.stamp_staleness(missing) == "no artifact"
+
+    norev = tmp_path / "norev.json"
+    norev.write_text(json.dumps({"value": 1.0}))
+    assert "no rev recorded" in rc.stamp_staleness(norev)
+
+    head = subprocess.run(
+        ["git", "describe", "--always", "--dirty"], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    current = tmp_path / "current.json"
+    current.write_text(json.dumps({"git_rev": head}))
+    assert rc.stamp_staleness(current) is None
+
+    # a rev that predates this round's package commits → stale, and the
+    # reason names what changed
+    stale = tmp_path / "stale.json"
+    stale.write_text(json.dumps({"git_rev": "1bf2024"}))
+    reason = rc.stamp_staleness(stale)
+    assert reason and "changed since" in reason
+
+    bogus = tmp_path / "bogus.json"
+    bogus.write_text(json.dumps({"git_rev": "ffffffffff"}))
+    assert "not found" in rc.stamp_staleness(bogus)
+
+
+def test_verify_stamps_exit_codes(tmp_path):
+    """--verify-stamps is the post-close re-check: exit 0 on a current
+    stamp, 1 on a stale one. Run against a COPY of the repo state via
+    monkeypatched canonical path is overkill — drive the module's main
+    through a subprocess only for the help path, and the check through
+    stamp_staleness directly (covered above); here pin that the CLI
+    flag exists and wires to the check."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "round_close.py"), "--help"],
+        cwd=REPO, capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0
+    assert "--verify-stamps" in proc.stdout and "--prev-rev" in proc.stdout
+
+
+def test_adjudicate_stamp_skips_when_prev_has_no_canonical(tmp_path):
+    rc = _round_close_mod()
+    first = subprocess.run(
+        ["git", "rev-list", "--max-parents=0", "HEAD"], cwd=REPO,
+        capture_output=True, text=True, check=True,
+    ).stdout.split()[0]
+    stamp = tmp_path / "stamp.json"
+    stamp.write_text(json.dumps({"queries_median": {}}))
+    assert rc._adjudicate_stamp(99, first, stamp, sys.executable) == 0
+    # nothing attached, nothing crashed
+    assert "adjudication" not in json.loads(stamp.read_text())
