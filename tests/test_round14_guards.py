@@ -224,3 +224,98 @@ def test_sampled_cache_feeds_sibling_plan(spark, sf_dir):
     )
     assert "InMemoryTableScan" not in cold
     assert cold.count("Exchange hashpartitioning") <= 7
+
+
+# --- registered-query wiring pins: the mode='fail' pin lives in the
+# QUERY registrations (q_dedup/q_ml), not just the operator — these
+# drive the registry builds under a hostile session conf. -------------
+
+
+def test_registered_minhash_queries_ignore_session_sample_conf(spark, sf_dir):
+    """minhash_lsh_candidates(_hashed) gate against the FULL candidate
+    set — under a global sample conf and an impossible budget they must
+    refuse (pinned mode='fail'), never silently emit a subset."""
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    spark.conf.set("spark.welearn.pairGuard.mode", "sample")
+    spark.conf.set("spark.welearn.pairGuard.budget", "10")
+    try:
+        for name in ("minhash_lsh_candidates", "minhash_lsh_candidates_hashed"):
+            with pytest.raises(PairVolumeExceeded):
+                REGISTRY[name].build(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+    finally:
+        spark.conf.unset("spark.welearn.pairGuard.mode")
+        spark.conf.unset("spark.welearn.pairGuard.budget")
+
+
+def test_registered_semantic_dedup_ignores_session_sample_conf(spark, sf_dir):
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    spark.conf.set("spark.welearn.pairGuard.mode", "sample")
+    spark.conf.set("spark.welearn.pairGuard.budget", "10")
+    try:
+        with pytest.raises(PairVolumeExceeded):
+            REGISTRY["semantic_dedup_flags"].build(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+    finally:
+        spark.conf.unset("spark.welearn.pairGuard.mode")
+        spark.conf.unset("spark.welearn.pairGuard.budget")
+
+
+def test_sampled_variant_still_samples_under_its_own_mode(spark, sf_dir):
+    """The sanctioned sample path (minhash_lsh_candidates_sampled pins
+    mode='sample' itself) keeps working regardless of session conf —
+    the fail pins above must not have leaked into it."""
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    spark.conf.set("spark.welearn.pairGuard.mode", "fail")  # hostile the other way
+    try:
+        n = REGISTRY["minhash_lsh_candidates_sampled"].build(spark, sf_dir).count()
+        assert n >= 0  # built and ran; its 600 B budget guarantees sampling engaged
+    finally:
+        spark.conf.unset("spark.welearn.pairGuard.mode")
+
+
+# --- direct vs chunked pair-join equivalence, property-tested --------
+
+
+def test_direct_and_chunked_self_pairs_equivalent_property(spark):
+    """For ANY bucket assignment and payload, direct_self_pairs and
+    chunked_self_pairs (at several chunk targets, including 1 — every
+    member its own chunk) must emit the identical unordered pair set
+    with identically aligned payloads. Deterministic pseudo-random
+    fixtures spanning the shapes that matter: singleton buckets, one
+    mega bucket, many mid buckets."""
+    import random as _r
+
+    from welearn_datastack_spark.operators.dedup import (
+        chunked_self_pairs,
+        direct_self_pairs,
+    )
+
+    rng = _r.Random(1407)
+    for trial in range(3):
+        n = [40, 25, 60][trial]
+        n_buckets = [1, 12, 5][trial]  # mega / sparse / mid
+        rows = [
+            (i, rng.randrange(n_buckets), f"p{i % 7}") for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["id", "bk", "pl"])
+
+        def canon(out):
+            return sorted(
+                (r["bk"], r["a_id"], r["b_id"], r["a_pl"], r["b_pl"])
+                for r in out.collect()
+            )
+
+        base = canon(direct_self_pairs(df, ["bk"], "id", ["pl"]))
+        assert base and all(a < b for _, a, b, _, _ in base)
+        for ct in (1, 3, 256):
+            got = canon(chunked_self_pairs(df, ["bk"], "id", ["pl"], chunk_target=ct))
+            assert got == base, f"trial {trial}, chunk_target {ct}"
