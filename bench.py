@@ -34,7 +34,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # already pinned it)
 os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
-from welearn_datastack_spark.operators.dedup import PairVolumeExceeded
+from welearn_datastack_spark.operators.dedup import (
+    PairVolumeExceeded,
+    release_guard_caches,
+)
 from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
 from welearn_datastack_spark.session import get_spark
 
@@ -155,6 +158,66 @@ def _stage_totals(spark) -> dict[str, int] | None:
         return None
 
 
+def _parse_sf_dir(sf_dir: str) -> tuple[float | None, str | None]:
+    """(scale factor, corpus tag) from a data-dir name. Corpus tag
+    (round-14 verdict item 6: zipf-50k is promoted to a first-class
+    comparator corpus): a dir named ..._sf{N}_{tag} stamps
+    latest_sf{N}_{tag}.json so realistic-vocabulary canonicals never
+    clobber the legacy word-salad series at the same SF."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    m = re.search(r"sf([0-9.]+?)(?:_([A-Za-z0-9]+))?$", base)
+    if not m:
+        return None, None
+    return float(m.group(1)), m.group(2)
+
+
+def _storage_info(spark) -> dict[str, int] | None:
+    """Live cached-RDD footprint (count + memory/disk bytes) from the
+    JVM's storage registry — the per-query dirty-state detector. A
+    query that returns leaving blocks cached has perturbed the session
+    for every later query in the pass (round-14 verdict item 1:
+    sq8_ann_topk needed cross-round adjudication twice running, and
+    the isolated re-runs kept acquitting the code — the walls were
+    session state). Py4J-only, no REST round-trip."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {
+            "rdds": len(infos),
+            "mem_bytes": sum(i.memSize() for i in infos),
+            "disk_bytes": sum(i.diskSize() for i in infos),
+        }
+    except Exception:  # noqa: BLE001 — accounting must never fail a bench
+        return None
+
+
+def post_query_hygiene(spark) -> dict[str, int] | None:
+    """Cache hygiene between bench queries (round-14 verdict item 1):
+    sample what the query just left in the block manager, and if it
+    left ANYTHING, release the session-lifetime guard persists and
+    clear the catalog cache so the NEXT query starts from a clean
+    JVM. Returns the pre-clear storage record (None/zeroes = the query
+    was already clean, nothing was cleared).
+
+    Rationale: only the persist_on_probe dedup queries deliberately
+    cache across their own sink (2 of 91 headline queries); their
+    cross-pass cache reuse was never part of the measured contract,
+    while the memory pressure and GC their lingering blocks impose on
+    every LATER query in the pass is exactly the flap the per-round
+    adjudications kept acquitting as 'session-state'. Clean state per
+    query makes every wall self-contained; the probe-verdict memo
+    (Python-side) still makes warm-pass guard probes free.
+    SPARK_GRAFT_BENCH_CACHE_CLEAN=0 restores the legacy leave-dirty
+    behavior (A/B evidence)."""
+    rec = _storage_info(spark)
+    if rec and rec["rdds"]:
+        release_guard_caches()
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
+    return rec
+
+
 def _quiet_gate(full_run: bool, getloadavg=os.getloadavg, sleep=time.sleep) -> dict:
     """Bounded pre-flight wait for a quiet box (round-13 judge item 2:
     the r12 sf3 canonical started at loadavg 15.9 and was useless as a
@@ -268,8 +331,7 @@ def _calibration(spark, rows: int = 20_000_000) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
+    sf, corpus = _parse_sf_dir(sf_dir)
     # quiet-box gate BEFORE the session spins up (its own JVM adds load)
     quiet_gate = _quiet_gate(
         full_run=not os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
@@ -344,7 +406,9 @@ def main() -> None:
     # into Janino recompiles; get_spark() raises
     # spark.sql.codegen.cache.maxEntries to 4096 for exactly this.
     shuffle_order = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "1") != "0"
+    cache_clean = os.environ.get("SPARK_GRAFT_BENCH_CACHE_CLEAN", "1") != "0"
     warm_by_query: dict[str, list[float]] = {}
+    storage_by_query: dict[str, dict[str, int]] = {}
     positions: dict[str, list[int]] = {}
     bytes_by_query: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
@@ -363,7 +427,10 @@ def main() -> None:
     # adjudication pass in tools/audit_scaling.py so its isolated
     # re-runs never clobber the canonical subset_sf{sf}.json series)
     override = os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT", "")
-    artifact = Path(override) if override else artifact_dir / f"{stem}_sf{sf}.json"
+    tag = f"_{corpus}" if corpus else ""
+    artifact = (
+        Path(override) if override else artifact_dir / f"{stem}_sf{sf}{tag}.json"
+    )
 
     def _write_artifact(passes_done: int) -> dict:
         p_times, p_med, p_spread = {}, {}, {}
@@ -392,6 +459,7 @@ def main() -> None:
             "queries": p_times,
             "sf": sf,
             "sf_dir": sf_dir,
+            "corpus": corpus or "legacy",
             "runs": n_runs,
             "passes_done": passes_done,
             "stat": f"min-of-{passes_done - 1}-warm",
@@ -401,6 +469,8 @@ def main() -> None:
             "queries_rel_spread": p_spread,
             "queries_position": positions,
             "queries_shuffle": bytes_by_query,
+            "cache_clean": cache_clean,
+            "queries_storage": storage_by_query,
             "shuffle_read_mb": rd,
             "shuffle_write_mb": wr,
             "cold_total_sec": round(cold_total, 3),
@@ -453,6 +523,20 @@ def main() -> None:
                         bytes_by_query[name] = {
                             k: after[k] - before[k] for k in before
                         }
+                # per-query storage accounting + cache hygiene (round-14
+                # verdict item 1): record what this query left cached,
+                # then clear it so the next query's wall is self-
+                # contained — a dirty-state stamp is now DETECTABLE
+                # (queries_storage nonzero) and IMPOSSIBLE (cleared)
+                if cache_clean:
+                    st = post_query_hygiene(spark)
+                    if st and st["rdds"]:
+                        prev = storage_by_query.get(name)
+                        if prev is None or (
+                            st["mem_bytes"] + st["disk_bytes"]
+                            > prev["mem_bytes"] + prev["disk_bytes"]
+                        ):
+                            storage_by_query[name] = st
                 # compact per-query stdout line: with console progress
                 # bars off (session.py), these are what the driver's
                 # ~2000-char tail shows — query names + times instead
@@ -461,10 +545,14 @@ def main() -> None:
             except PairVolumeExceeded as e:
                 guard_exits[name] = str(e)[:500]
                 failed.add(name)
+                if cache_clean:
+                    post_query_hygiene(spark)
                 print(f"[p{run_i}] {name} GUARD-EXIT: {e}"[:200], flush=True)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 failed.add(name)
+                if cache_clean:
+                    post_query_hygiene(spark)
                 # keep any warm samples already collected — a transient
                 # failure on a LATE pass must not erase real timing
                 # signal (the error is recorded alongside, and the

@@ -1,0 +1,147 @@
+"""Round-15 pins: bench cache hygiene between queries (r14 verdict
+item 1 — per-query storage accounting + guard/catalog cache release so
+no query's lingering persists perturb later walls), snapshot-failure
+memo disabling (r14 ADVICE #4), round_close adjudication-survivor
+filtering and dirty-stamp staleness (r14 ADVICE #1/#2), and the
+corpus-tagged canonical naming that promotes zipf-50k to a first-class
+comparator (r14 verdict item 6)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+import welearn_datastack_spark.operators.dedup as dedup_mod
+from welearn_datastack_spark.operators.dedup import (
+    _GUARD_PERSISTS,
+    _PROBE_MEMO,
+    _input_snapshot,
+    clear_probe_memo,
+    pair_volume_guard,
+    release_guard_caches,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_module(name: str, path: Path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def bench():
+    return _load_module("bench_r15", REPO / "bench.py")
+
+
+@pytest.fixture(scope="module")
+def round_close():
+    return _load_module("round_close_r15", REPO / "tools" / "round_close.py")
+
+
+# --- snapshot failure disables memoization (r14 ADVICE #4) -----------
+
+
+def test_input_snapshot_returns_none_on_listing_failure(spark):
+    class Boom:
+        def inputFiles(self):
+            raise RuntimeError("listing unavailable")
+
+    assert _input_snapshot(Boom()) is None
+
+
+def test_memo_skipped_when_snapshot_fails(spark, monkeypatch):
+    """A plan whose input listing fails must RE-PROBE every build —
+    a plan-hash-only memo key could stale-hit after an unlistable
+    source was rewritten in place (the under-gating hazard)."""
+    clear_probe_memo()
+    monkeypatch.setattr(dedup_mod, "_input_snapshot", lambda df: None)
+    df = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "bk"])
+    out = pair_volume_guard(df, ["bk"], "doc_id", budget_bytes=1 << 30)
+    assert out.count() == 2
+    assert len(_PROBE_MEMO) == 0  # nothing memoized under a None key
+
+
+# --- bench cache hygiene (r14 verdict item 1) -------------------------
+
+
+def test_post_query_hygiene_clears_guard_persists(spark, bench):
+    """The pin for 'cache-clean state between bench families': a query
+    that left a persist_on_probe cache behind is detected (nonzero
+    storage record) and the session is returned to a clean block
+    manager + empty guard registry before the next query runs."""
+    clear_probe_memo()
+    release_guard_caches()
+    spark.catalog.clearCache()
+    df = spark.createDataFrame([(i, "a") for i in range(50)], ["doc_id", "bk"])
+    guarded = pair_volume_guard(
+        df, ["bk"], "doc_id", budget_bytes=1 << 30, persist_on_probe=True
+    )
+    guarded.count()  # materialize the persist (what a bench sink does)
+    assert len(_GUARD_PERSISTS) == 1
+    rec = bench.post_query_hygiene(spark)
+    assert rec is not None and rec["rdds"] >= 1
+    assert rec["mem_bytes"] + rec["disk_bytes"] > 0
+    # post-state: clean JVM for the next query
+    assert len(_GUARD_PERSISTS) == 0
+    after = bench._storage_info(spark)
+    assert after is not None and after["rdds"] == 0
+    # idempotent: a clean session records clean and clears nothing
+    rec2 = bench.post_query_hygiene(spark)
+    assert rec2 is not None and rec2["rdds"] == 0
+
+
+def test_storage_info_counts_plain_catalog_cache(spark, bench):
+    spark.catalog.clearCache()
+    df = spark.range(1000).withColumn("v", F.col("id") * 2).cache()
+    df.count()
+    rec = bench._storage_info(spark)
+    assert rec["rdds"] >= 1 and rec["mem_bytes"] + rec["disk_bytes"] > 0
+    bench.post_query_hygiene(spark)
+    assert bench._storage_info(spark)["rdds"] == 0
+
+
+# --- corpus-tagged canonical naming (r14 verdict item 6) --------------
+
+
+def test_parse_sf_dir_tags(bench):
+    assert bench._parse_sf_dir("/root/testdata/sf0.1") == (0.1, None)
+    assert bench._parse_sf_dir("/tmp/welearn_sf0.1_zipf50k") == (0.1, "zipf50k")
+    assert bench._parse_sf_dir("/tmp/welearn_sf1_zipf50k/") == (1.0, "zipf50k")
+    assert bench._parse_sf_dir("/tmp/welearn_sf100") == (100.0, None)
+    assert bench._parse_sf_dir("/tmp/welearn_sf10_realvocab") == (10.0, "realvocab")
+    assert bench._parse_sf_dir("/root/testdata/sf0.001") == (0.001, None)
+    assert bench._parse_sf_dir("/no/scale/here") == (None, None)
+
+
+# --- round_close adjudication + staleness (r14 ADVICE #1/#2) ----------
+
+
+def test_control_survivors_filters_acquitted(round_close):
+    adj = {
+        "a": {"verdict": "session-state", "ratio": 1.4},
+        "b": {"verdict": "persists-isolated", "ratio": 1.3},
+        "c": {"verdict": "persists-isolated"},
+        "d": "not-a-dict",
+    }
+    assert round_close._control_survivors(adj) == ["b", "c"]
+    assert round_close._control_survivors({}) == []
+
+
+def test_stamp_staleness_flags_dirty_rev(round_close, tmp_path):
+    import json
+
+    p = tmp_path / "latest_sf9.9.json"
+    p.write_text(json.dumps({"git_rev": "abc1234-dirty"}))
+    reason = round_close.stamp_staleness(p)
+    assert reason is not None and "dirty" in reason
+    assert round_close.stamp_staleness(tmp_path / "missing.json") == "no artifact"
+    p.write_text(json.dumps({}))
+    assert "no rev" in round_close.stamp_staleness(p)

@@ -414,22 +414,26 @@ _PROBE_MEMO_CAP = 256
 _GUARD_PERSISTS: dict[object, DataFrame] = {}
 
 
-def _input_snapshot(df: DataFrame) -> tuple:
+def _input_snapshot(df: DataFrame) -> tuple | None:
     """Fingerprint of a plan's leaf input files — folded into the
     probe-memo key so rewritten inputs invalidate memoized verdicts.
     Local files contribute (path, mtime_ns, size); non-local URIs
     contribute the path alone (listing churn still invalidates). The
     per-file entries are md5-folded to one hex digest so the key stays
-    small at production file counts. Returns ('<unknown>',) when the
-    listing itself fails — the memo then behaves as before (plan-hash
-    keyed), never blocking the guard."""
+    small at production file counts. Returns None when the listing
+    itself fails — the caller must then SKIP memoization entirely
+    (round-14 ADVICE: a constant fallback degraded the key to
+    plan-hash-only, so a corpus rewritten behind an unlistable source
+    could stale-hit the very verdict this key exists to invalidate;
+    re-probing every build is the safe degradation, a stale under-gate
+    is not)."""
     import hashlib
     import os
 
     try:
         files = sorted(df.inputFiles())
     except Exception:  # noqa: BLE001 — snapshot is best-effort
-        return ("<unknown>",)
+        return None
     h = hashlib.md5()
     for uri in files:
         h.update(uri.encode())
@@ -574,12 +578,16 @@ def _volume_guard(
             projected=worst_case_units * unit_bytes, budget=budget,
         )
     try:
-        memo_key = (
+        snap = _input_snapshot(bucketed)
+        # snap is None when the input listing failed: memoization is
+        # DISABLED for this build (memo_key None) rather than keyed on
+        # the plan hash alone — see _input_snapshot's docstring
+        memo_key = None if snap is None else (
             spark.sparkContext.applicationId,
             bucketed.semanticHash(),
             tuple(bucket_cols),
             probe_key,
-            _input_snapshot(bucketed),
+            snap,
         )
     except Exception:  # noqa: BLE001 — memo is an optimization, never a gate
         memo_key = None
