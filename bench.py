@@ -82,6 +82,7 @@ HEADLINE = [
     "grouped_vector_search",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "ivf_grouped_topk",
     "sq8_ann_topk",
     "word_window_slices",
     "tfidf_top_terms",

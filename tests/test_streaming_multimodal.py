@@ -82,11 +82,22 @@ def test_multimodal_attach_decode_sample(spark):
     assert m["d1"]["n_bytes"] == 15
     assert len(m["d1"]["checksum"]) == 32
 
-    decoded = decode_media(media, "payload")
+    # default decoder is the REAL header parser (round 15): non-image
+    # bytes are dead-letter rows (null dims), not exceptions
+    real = {r["id"]: r for r in decode_media(media, "payload").collect()}
+    assert real["d1"]["width"] is None and real["d1"]["n_frames"] is None
+
+    # the fake-video codec stays available behind the seam
+    from welearn_datastack_spark.operators.multimodal import stub_decoder
+
+    decoded = decode_media(media, "payload", decode_fn=stub_decoder)
     rows = {r["id"]: r for r in decoded.collect()}
     assert 64 <= rows["d1"]["width"] <= 576 and 64 <= rows["d1"]["height"] <= 576
     # deterministic: same payload → same fake dimensions
-    again = {r["id"]: r for r in decode_media(media, "payload").collect()}
+    again = {
+        r["id"]: r
+        for r in decode_media(media, "payload", decode_fn=stub_decoder).collect()
+    }
     assert again["d1"]["width"] == rows["d1"]["width"]
 
     frames = sample_frames(decoded.withColumn("n_frames", F.lit(10)), every_n=3)

@@ -139,6 +139,23 @@ def _ts_col(us: np.ndarray) -> pa.Array:
     return pa.array(us, type=pa.timestamp("us"))
 
 
+def _invalidate_guard_memos() -> None:
+    """Corpora-regen hook (round-14 verdict item 5): if this generator
+    runs INSIDE a session that already probed a guard over the output
+    dir (service-style callers, test fixtures), drop every memoized
+    probe verdict — an in-place rewrite must re-probe, never stale-hit
+    a verdict measured on the old data. No-op when the engine package
+    is not importable (the normal standalone-CLI case: the memo is
+    per-process, so a fresh process has nothing to invalidate)."""
+    try:
+        from welearn_datastack_spark.operators.dedup import clear_probe_memo
+    except Exception:  # noqa: BLE001 — generation must not require the engine
+        return
+    n = clear_probe_memo()
+    if n:
+        print(f"  (invalidated {n} memoized guard verdict(s) after regen)")
+
+
 def generate(sf: float, out: str) -> None:
     rng = np.random.default_rng(SEED)
     os.makedirs(out, exist_ok=True)
@@ -277,6 +294,8 @@ def generate(sf: float, out: str) -> None:
             "embedding": pa.array(list(E), pa.list_(pa.float32())),
             "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
         }))
+
+    _invalidate_guard_memos()
 
 
 def main() -> None:

@@ -111,6 +111,46 @@ def grouped_topk(
     return top_k_by(best_per_group, [q_id], [F.desc("cosine"), F.asc(group_col)], k=k_groups)
 
 
+def ivf_grouped_topk(
+    lists: DataFrame,
+    probes: DataFrame,
+    group_col: str,
+    k_groups: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Grouped ANN serve on the IVF path — the reference's real serve
+    workload (Qdrant grouped search: group_by document_id, group_size
+    1, limit N; locustfiles/locustfile.py:82–87) WITHOUT a crossJoin
+    against the full corpus (the brute-force :func:`grouped_topk` is
+    the recall yardstick, not the scale plan).
+
+    Inputs are the two IVF frames a quantizer produces:
+
+    - ``lists``: the assigned corpus — (cent_id, c_id, ce = embedding,
+      group_col). Assignment is a map expression over the scan when
+      the centroids are baked literals (see plans.q_ml.ivf_ann_topk).
+    - ``probes``: the probe set — (cent_id, q_id, qe = embedding),
+      one row per (query, probed list).
+
+    Plan shape at 100 TB: candidates come from a broadcast equi-join
+    on ``cent_id`` (the probe side is |Q|·n_probe rows — tiny), so the
+    corpus embedding column is NEVER shuffled; the exchanges are the
+    narrow (q_id, group, cosine, c_id) windows — best-per-(query,
+    group) first, then top-k groups per query."""
+    scored = lists.join(F.broadcast(probes), on="cent_id").select(
+        q_id,
+        c_id,
+        group_col,
+        F.round(cosine(F.col("qe"), F.col("ce")), round_digits).alias("cosine"),
+    )
+    best = top_k_by(
+        scored, [q_id, group_col], [F.desc("cosine"), F.asc(c_id)], k=1, rank_col="__r1"
+    ).drop("__r1")
+    return top_k_by(best, [q_id], [F.desc("cosine"), F.asc(group_col)], k=k_groups)
+
+
 # corpus-scaled LSH sizing: the plane count grows with the corpus so
 # the EXPECTED bucket size stays ~_LSH_TARGET_BUCKET and intra-bucket
 # pair work stays constant while bucket count (= join parallelism)

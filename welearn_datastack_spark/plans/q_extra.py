@@ -407,40 +407,59 @@ def stream_latest_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode",
     """
-    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(64 + h % 512 AS INT) AS width,
-           CAST(64 + (h // 512) % 512 AS INT) AS height,
-           CAST(1 + (h // 262144) % 32 AS INT) AS n_frames
-    FROM (
-      SELECT doc_id, text,
-             list_reduce(
-               list_transform(regexp_extract_all(substr(md5(text), 1, 8), '.'),
-                              c -> strpos('0123456789abcdef', c) - 1),
-               (a, b) -> a * 16 + b) AS h
-      FROM documents
-    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 34 = 0 THEN 10
+                     WHEN doc_id % 17 = 0 THEN 4
+                     WHEN doc_id % 2 = 0 THEN 45 ELSE 41 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+                     ELSE 16 + (doc_id * 7) % 512 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+                     ELSE 16 + (doc_id * 13) % 512 END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 1 END AS INT) AS n_frames,
+           CASE WHEN doc_id % 17 = 0 THEN 'dead_letter' ELSE 'ok' END AS status
+    FROM documents
     """,
-    doc="Multimodal: binary payload + typed metadata + stubbed decode "
-    "via mapInPandas (width/height/n_frames deterministic from payload "
-    "hash; real codec drops in without plan changes). The stub derives "
-    "dims from md5(payload)[:8] as a 32-bit int — exactly reproducible "
-    "in the oracle (hex digits folded via list_reduce; >>9 ≡ //512, "
-    ">>18 ≡ //262144), so the driver gate checks the full mapInPandas "
-    "path, not just row counts.",
+    doc="Multimodal: REAL byte-derived image decode (round-14 verdict "
+    "item 3). Structurally valid PNG (signature + IHDR with real crc32 "
+    "+ IEND) and JPEG (SOI + APP0/JFIF + SOF0 + EOI) payloads are "
+    "synthesized as pure JVM binary expressions with dimensions that "
+    "are arithmetic in doc_id; the mapInPandas decode stage then "
+    "extracts width/height by PARSING THE BYTES (PNG IHDR u32s, JPEG "
+    "marker-segment walk to SOF0 — operators/multimodal.py:"
+    "parse_image_header, no image library needed), and the oracle "
+    "recomputes the dimensions arithmetically — any synth or parser "
+    "defect breaks the value hash. Corrupt payloads (truncated PNG "
+    "signature every 34th doc, non-image garbage every 17th) decode "
+    "to null dims and route to status='dead_letter' — bad rows are "
+    "data, not exceptions (R6). A PIL/ffmpeg decoder still drops into "
+    "the decode_fn seam without touching the plan.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import attach_media, decode_media
+    from ..operators.multimodal import decode_media, synth_jpeg, synth_png
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(16) + (F.col("doc_id") * 7) % 512).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 13) % 512).cast("int")
+    payload = (
+        # truncated PNG: full 8-byte signature, no IHDR → parser must
+        # length-check, not trust the magic
+        F.when(F.col("doc_id") % 34 == 0, F.unhex(F.lit("89504E470D0A1A0A0000")))
+        # non-image garbage: neither magic matches
+        .when(F.col("doc_id") % 17 == 0, F.unhex(F.lit("DEADBEEF")))
+        .when(F.col("doc_id") % 2 == 0, synth_png(w, h))
+        .otherwise(synth_jpeg(w, h))
     )
-    media = attach_media(docs, "payload", mime="image/jpeg")
-    return decode_media(media, "payload").select(
+    media = docs.select("doc_id", payload.alias("payload"))
+    decoded = decode_media(media, "payload")  # default = header_decoder
+    return decoded.select(
         "doc_id",
-        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
         "width",
         "height",
         "n_frames",
+        F.when(F.col("width").isNull(), F.lit("dead_letter"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
     )
 
 
@@ -2177,13 +2196,18 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_frame_features,
         resize_media,
         sample_frames,
+        stub_decoder,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    media = attach_media(docs, "payload", mime="image/jpeg")
-    decoded = decode_media(media, "payload")
+    media = attach_media(docs, "payload", mime="video/x-fake")
+    # the FAKE-VIDEO codec, explicitly: a real still-image header
+    # always decodes to n_frames=1, which would degenerate the frame-
+    # sampling stage this pipeline exists to exercise (the real
+    # byte-header decode path is gated by multimodal_decode)
+    decoded = decode_media(media, "payload", decode_fn=stub_decoder)
     resized = resize_media(decoded, max_side=256, payload_col="payload")
     sampled = sample_frames(resized, every_n=8)
     featured = extract_frame_features(sampled, dim=4)
