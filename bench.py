@@ -131,6 +131,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "bpe_pair_merge",
     "bpe_merge_3rounds",
+    "bpe_encode_corpus",
+    "token_budget_packing_bpe",
     "hal_extraction_roundtrip",
     "open_alex_extraction_roundtrip",
     "ted_extraction_roundtrip",

@@ -861,14 +861,13 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_round_sql() -> str:
-    """Unrolled 3-round BPE-induction oracle: each round counts
-    adjacent symbol pairs over the vocab, picks the argmax merge as a
-    1-row CTE, and applies it with a list_reduce fold whose string
-    accumulator IS the space-joined symbol sequence — the same greedy
-    left-to-right non-overlapping merge the Spark side folds with
-    ``aggregate`` (a chain of k identical symbols merges to
-    floor(k/2) pairs; replace()-based rewrites get this wrong)."""
+def _bpe_rounds_cte() -> str:
+    """The shared 3-round merge-induction CTE chain (c{i}/w{i}/v{i+1});
+    expects a ``v1`` vocab CTE (w, n, s) upstream, leaves ``v4`` = the
+    vocab after 3 applied merges. Reused by the induction oracle
+    (bpe_merge_3rounds) and the encode oracles (bpe_encode_corpus,
+    token_budget_packing_bpe) so all engines share one merge
+    definition."""
     rounds = []
     for i in (1, 2, 3):
         rounds.append(f"""
@@ -888,6 +887,35 @@ def _bpe_round_sql() -> str:
                     ELSE acc || ' ' || x END) AS s
       FROM v{i}, w{i}
     )""")
+    return ",".join(rounds)
+
+
+# words CTE WITH doc_id (the encode oracles join tokens back per doc;
+# the induction oracle's own words CTE only needs the token stream)
+_BPE_WORDS_V1 = """
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '\\w+') AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, lang, t[i] AS w
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ), v1 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+             array_to_string(
+               list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+               ' ') AS s
+      FROM words GROUP BY w
+    ),"""
+
+
+def _bpe_round_sql() -> str:
+    """Unrolled 3-round BPE-induction oracle: each round counts
+    adjacent symbol pairs over the vocab, picks the argmax merge as a
+    1-row CTE, and applies it with a list_reduce fold whose string
+    accumulator IS the space-joined symbol sequence — the same greedy
+    left-to-right non-overlapping merge the Spark side folds with
+    ``aggregate`` (a chain of k identical symbols merges to
+    floor(k/2) pairs; replace()-based rewrites get this wrong)."""
     tops = "\n      UNION ALL\n".join(
         f"""      SELECT CAST({i} AS INT) AS merge_round,
              CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS INT) AS rnk,
@@ -896,20 +924,49 @@ def _bpe_round_sql() -> str:
         for i in (1, 2, 3)
     )
     return f"""
-    WITH toks AS (
-      SELECT regexp_extract_all(lower(text), '\\w+') AS t FROM documents
-    ), words AS (
-      SELECT t[i] AS w FROM toks, unnest(generate_series(1, len(t))) AS u(i)
-    ), v1 AS (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
-             array_to_string(
-               list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
-               ' ') AS s
-      FROM words GROUP BY w
-    ),{",".join(rounds)}
+    {_BPE_WORDS_V1}{_bpe_rounds_cte()}
     SELECT merge_round, rnk, left_sym, right_sym, cnt FROM (
 {tops}
     ) WHERE rnk <= 10
+    """
+
+
+def _bpe_encode_sql() -> str:
+    """Encode oracle: the induced-vocab rollup after 3 merges (v4)
+    maps every distinct word to its BPE token count; joining the
+    word stream back through that map gives per-document totals."""
+    return f"""
+    {_BPE_WORDS_V1}{_bpe_rounds_cte()},
+    enc AS (
+      SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS w_tokens FROM v4
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM words JOIN enc USING (w)
+    GROUP BY doc_id
+    """
+
+
+def _bpe_packing_sql() -> str:
+    return f"""
+    {_BPE_WORDS_V1}{_bpe_rounds_cte()},
+    enc AS (
+      SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS w_tokens FROM v4
+    ), counts AS (
+      SELECT doc_id, lang, CAST(SUM(w_tokens) AS BIGINT) AS n_tokens
+      FROM words JOIN enc USING (w)
+      GROUP BY doc_id, lang
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_before
+      FROM counts
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_before // 4096 AS INT) AS batch_id
+    FROM packed
     """
 
 
@@ -1027,3 +1084,125 @@ def bpe_merge_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             vocab, top[0]["left_sym"], top[0]["right_sym"]
         ).localCheckpoint(eager=True)
     return out
+
+
+def _bpe_encoded_vocab(docs: DataFrame) -> DataFrame:
+    """Induce 3 BPE merges (the bpe_merge_3rounds kernel) and return
+    the ENCODED vocab rollup (w, n, s) — the |vocab|-sized
+    word→tokenization map. Every fold/explode happens on the rollup,
+    never the corpus (SCALE.md §26): per-round cost is
+    O(|vocab|·wordlen), corpus-size independent; the corpus is
+    touched exactly once (the word count) plus once per encode
+    consumer (the join back)."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "s",
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)))"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in (1, 2, 3):
+        counted = _bpe_pair_counts(vocab)
+        # 1-row bounded fetch: the round's argmax merge rule
+        top = (
+            counted.orderBy(F.desc("cnt"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        vocab = _bpe_apply_merge(
+            vocab, top[0]["left_sym"], top[0]["right_sym"]
+        ).localCheckpoint(eager=True)
+    return vocab
+
+
+@register(
+    "bpe_encode_corpus",
+    _bpe_encode_sql(),
+    doc="Tokenizer APPLY (round-14 verdict item 4): encode the corpus "
+    "with the merges bpe_merge_3rounds induces. The greedy merge fold "
+    "runs once per DISTINCT word on the vocab rollup (corpus-size "
+    "independent — SCALE.md §26); the corpus pass is then a word "
+    "explode + equi-join against that |vocab|-sized word→token-count "
+    "map (AQE broadcasts it while it fits; at 100 TB it degrades to a "
+    "shuffle join on the word key, never a fold per occurrence) and a "
+    "per-doc sum. Output: real BPE token counts per document — what "
+    "token_counts/token_budget_packing approximated with word counts. "
+    "The DuckDB twin unrolls the same 3 induction rounds and the same "
+    "join, so merge choice, fold semantics, AND the re-join are all "
+    "value-hashed.",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    enc = _bpe_encoded_vocab(docs).select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("w_tokens")
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+        ).alias("w"),
+    )
+    return (
+        words.join(enc, on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@register(
+    "token_budget_packing_bpe",
+    _bpe_packing_sql(),
+    doc="Sequence packing on REAL tokenizer counts (round-14 verdict "
+    "item 4): token_budget_packing's per-language 4096-token greedy "
+    "prefix-sum batches, with n_tokens = the BPE-encoded count from "
+    "bpe_encode_corpus's vocab-rollup map instead of the whitespace-"
+    "word proxy. Same scale shape: the window partitions by language, "
+    "so each language packs independently in parallel.",
+)
+def token_budget_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    enc = _bpe_encoded_vocab(docs).select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("w_tokens")
+    )
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+        ).alias("w"),
+    )
+    counts = (
+        words.join(enc, on="w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w_tokens").cast("long").alias("n_tokens"))
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return counts.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096)
+        .cast("int")
+        .alias("batch_id"),
+    )
