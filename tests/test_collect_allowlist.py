@@ -63,13 +63,16 @@ ALLOWED = {
         "stream) + 1-row min/max ts bounds for gap-fill range generation",
     ),
     "plans/q_ml.py": (
-        2,
-        "k-row centroid seed fetches for kmeans/ivf builds (k is a literal)",
+        3,
+        "k-row centroid seed fetches for kmeans/ivf builds (k is a "
+        "literal; round 15 adds ivf_grouped_topk's 8-row quantizer "
+        "fetch, same discipline as ivf_ann_topk's)",
     ),
     "plans/q_text.py": (
-        1,
+        2,
         "1-row argmax merge winner per BPE round (limit 1 + collect, "
-        "kmeans centroid discipline)",
+        "kmeans centroid discipline) — in bpe_merge_3rounds and, round "
+        "15, _bpe_encoded_vocab (the encode queries' shared inducer)",
     ),
     "sources/collectors.py": (
         1,

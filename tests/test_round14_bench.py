@@ -109,6 +109,14 @@ def test_stamp_staleness_branches(tmp_path):
         ["git", "describe", "--always", "--dirty"], cwd=REPO,
         capture_output=True, text=True, check=True,
     ).stdout.strip()
+    # round 15 (r14 ADVICE): a -dirty rev is ALWAYS stale — the
+    # measured code matches no commit. The clean-HEAD case is only
+    # current when nothing in stamp scope changed since.
+    if head.endswith("-dirty"):
+        dirty = tmp_path / "dirty.json"
+        dirty.write_text(json.dumps({"git_rev": head}))
+        assert "dirty" in rc.stamp_staleness(dirty)
+        head = head.removesuffix("-dirty")
     current = tmp_path / "current.json"
     current.write_text(json.dumps({"git_rev": head}))
     assert rc.stamp_staleness(current) is None

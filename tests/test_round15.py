@@ -133,6 +133,35 @@ def test_gen_sf_regen_invalidates_probe_memo(spark):
     assert len(_PROBE_MEMO) == 0
 
 
+# --- plan pins for the round's new queries ----------------------------
+
+
+def _plan(spark, sf_dir, name):
+    from welearn_datastack_spark.plans.registry import REGISTRY, _load_groups
+
+    _load_groups()
+    df = REGISTRY[name].build(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_grouped_topk_plan_is_bucketed(spark, sf_dir):
+    """The grouped serve path must be the bucketed IVF join, not a
+    crossJoin against the corpus (the whole point vs grouped_vector_
+    search): candidates from a broadcast EQUI-join on cent_id, no
+    nested-loop/cartesian anywhere, no Python in the plan."""
+    plan = _plan(spark, sf_dir, "ivf_grouped_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bpe_encode_corpus_plan_stays_jvm(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bpe_encode_corpus")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 # --- real image-header decode (r14 verdict item 3) ---------------------
 
 
