@@ -218,6 +218,19 @@ def post_query_hygiene(spark) -> dict[str, int] | None:
             spark.catalog.clearCache()
         except Exception:  # noqa: BLE001
             pass
+        # catalog.clearCache() reaches only CacheManager entries; the
+        # localCheckpoint RDDs the iterative builders leave behind
+        # (BPE vocab rounds, BFS frontiers, ingest decision pins —
+        # all per-build scaffolding, orphaned once the sink finished)
+        # live in the block manager as raw persisted RDDs and survive
+        # it. Drop them too, or every later query's storage record
+        # inherits ~20 MB of someone else's checkpoints.
+        try:
+            # py4j exposes the java Map dict-like
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     return rec
 
 

@@ -98,6 +98,23 @@ def test_post_query_hygiene_clears_guard_persists(spark, bench):
     assert rec2 is not None and rec2["rdds"] == 0
 
 
+def test_post_query_hygiene_drops_orphaned_checkpoints(spark, bench):
+    """localCheckpoint RDDs (BPE vocab rounds, BFS frontiers) are not
+    CacheManager entries — catalog.clearCache() leaves them in the
+    block manager. Hygiene must drop those too, or every later
+    query's storage record inherits them."""
+    spark.catalog.clearCache()
+    bench.post_query_hygiene(spark)
+    df = spark.range(100000).withColumn("v", F.col("id") * 3).localCheckpoint(
+        eager=True
+    )
+    assert df.count() == 100000
+    rec = bench._storage_info(spark)
+    assert rec["rdds"] >= 1
+    bench.post_query_hygiene(spark)
+    assert bench._storage_info(spark)["rdds"] == 0
+
+
 def test_storage_info_counts_plain_catalog_cache(spark, bench):
     spark.catalog.clearCache()
     df = spark.range(1000).withColumn("v", F.col("id") * 2).cache()
