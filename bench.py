@@ -286,19 +286,31 @@ def _quiet_gate(full_run: bool, getloadavg=os.getloadavg, sleep=time.sleep) -> d
 
 
 def _git_rev() -> str | None:
-    """Short rev (+ -dirty) of the tree this stamp measured — the
-    anchor tools/round_close.py's stale-stamp guard compares HEAD
-    against (round-14 verdict item 7: the r13 sf0.1 canonical predated
-    a post-close refactor and only a judge reading the diff could tell
-    it was still valid)."""
+    """Short rev (+ -dirty) of the MEASURED CODE — the anchor
+    tools/round_close.py's stale-stamp guard compares HEAD against
+    (round-14 verdict item 7). The -dirty suffix is computed over the
+    stamp SCOPE only (welearn_datastack_spark/ + bench.py): the close
+    protocol itself modifies tracked artifacts (PLANS.md, the
+    bench_runs/ canonicals) while stamps run, and a whole-tree
+    --dirty would therefore mark every close-produced stamp as
+    matching no commit (round-15; the dirty-is-stale rule needs a
+    fingerprint of the code, not of the artifacts the code wrote)."""
     import subprocess
 
+    here = Path(__file__).resolve().parent
     try:
-        return subprocess.run(
-            ["git", "describe", "--always", "--dirty"],
-            cwd=Path(__file__).resolve().parent,
-            capture_output=True, text=True, timeout=10, check=True,
-        ).stdout.strip() or None
+        rev = subprocess.run(
+            ["git", "describe", "--always"],
+            cwd=here, capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+        if not rev:
+            return None
+        scope_status = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "welearn_datastack_spark/", "bench.py"],
+            cwd=here, capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+        return rev + ("-dirty" if scope_status else "")
     except Exception:  # noqa: BLE001 — rev stamping must never fail a bench
         return None
 

@@ -128,6 +128,23 @@ def test_storage_info_counts_plain_catalog_cache(spark, bench):
 # --- corpus-tagged canonical naming (r14 verdict item 6) --------------
 
 
+def test_git_rev_dirty_is_scoped_to_measured_code(bench):
+    """-dirty must fingerprint the STAMP SCOPE (package + bench.py),
+    not the whole tree — the close protocol modifies tracked
+    artifacts (PLANS.md, bench_runs/*) while stamps run, and a
+    whole-tree --dirty would mark every close-produced stamp stale."""
+    import subprocess
+
+    rev = bench._git_rev()
+    assert rev
+    scope = subprocess.run(
+        ["git", "status", "--porcelain", "--",
+         "welearn_datastack_spark/", "bench.py"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert rev.endswith("-dirty") == bool(scope)
+
+
 def test_parse_sf_dir_tags(bench):
     assert bench._parse_sf_dir("/root/testdata/sf0.1") == (0.1, None)
     assert bench._parse_sf_dir("/tmp/welearn_sf0.1_zipf50k") == (0.1, "zipf50k")
