@@ -1,0 +1,61 @@
+"""Round-15 close-control calibration check (SCALE.md §26.5).
+
+The close's bench_control window can be box-contaminated (the r15
+close opened it straight after the 90-minute stamp marathon); the
+calibration blocks both sides record make that detectable. These
+tests pin _calibration_check's verdicts on synthetic and on the
+actual committed r15 artifacts."""
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+from round_close import _calibration_check  # noqa: E402
+
+
+def _control(ctl_calib, cur_calib):
+    return {
+        "control_detail": {"calibration": {"spark_mean_sec": ctl_calib}},
+        "current_detail": {"calibration": {"spark_mean_sec": cur_calib}},
+    }
+
+
+def test_symmetric_quiet_window_is_ok():
+    out = _calibration_check(_control(0.5, 0.55), 0.5)
+    assert out["verdict"] == "ok"
+    assert out["side_ratio"] < 1.5
+
+
+def test_asymmetric_sides_are_suspect():
+    out = _calibration_check(_control(1.2, 0.5), 0.5)
+    assert out["verdict"] == "suspect"
+    assert any("asymmetric" in r for r in out["reasons"])
+
+
+def test_window_slower_than_stamp_is_suspect():
+    # symmetric but both sides 2x the stamp's box speed
+    out = _calibration_check(_control(1.2, 1.1), 0.5)
+    assert out["verdict"] == "suspect"
+    assert any("slower than the stamp" in r for r in out["reasons"])
+
+
+def test_missing_calibration_degrades_to_ok():
+    # pre-round-14 artifacts carry no calibration: no evidence, no verdict
+    out = _calibration_check({}, None)
+    assert out["verdict"] == "ok"
+
+
+def test_r15_committed_control_windows_read_suspect():
+    """Both r15 close-control windows were box-contaminated and the
+    committed artifacts prove it — the check must catch them, which
+    is why SCALE.md §26.5's final verdict rests on the mid-round
+    full stamp (quiet box), not on either control window."""
+    stamp = json.loads((REPO / "bench_runs" / "latest_sf0.1.json").read_text())
+    calib = (stamp.get("calibration") or {}).get("spark_mean_sec")
+    for name in ("r15_close_control_sf0.1.json",
+                 "r15_close_control_sf0.1_rerun.json"):
+        control = json.loads((REPO / "bench_runs" / name).read_text())
+        assert _calibration_check(control, calib)["verdict"] == "suspect", name
