@@ -169,9 +169,17 @@ def _parse_sf_dir(sf_dir: str) -> tuple[float | None, str | None]:
     clobber the legacy word-salad series at the same SF."""
     base = os.path.basename(sf_dir.rstrip("/"))
     m = re.search(r"sf([0-9.]+?)(?:_([A-Za-z0-9]+))?$", base)
-    if not m:
-        return None, None
-    return float(m.group(1)), m.group(2)
+    if m:
+        return float(m.group(1)), m.group(2)
+    # fall back to the pre-round-15 full-path scan so dirs the old
+    # regex handled (…/sf1/corpus, …/sf0.1-v2) keep stamping
+    # latest_sf{N}.json instead of silently minting latest_sfNone.json
+    # (round-15 self-review); the corpus tag stays basename-only —
+    # a tag that is not the dir's suffix is not a series.
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
+    if m:
+        return float(m.group(1)), None
+    return None, None
 
 
 def _storage_info(spark) -> dict[str, int] | None:
@@ -212,12 +220,19 @@ def post_query_hygiene(spark) -> dict[str, int] | None:
     SPARK_GRAFT_BENCH_CACHE_CLEAN=0 restores the legacy leave-dirty
     behavior (A/B evidence)."""
     rec = _storage_info(spark)
+    # clear UNCONDITIONALLY, not only when blocks materialized: a query
+    # that registers a persist but errors/short-circuits before any
+    # block lands reads rdds==0 here, yet its lazy CacheManager entry
+    # would materialize inside a LATER query sharing the plan fragment
+    # — the exact cross-query attribution flap this hook exists to
+    # prevent (round-15 self-review). On a clean session these calls
+    # are a few no-op py4j round-trips outside the timed window.
+    release_guard_caches()
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
     if rec and rec["rdds"]:
-        release_guard_caches()
-        try:
-            spark.catalog.clearCache()
-        except Exception:  # noqa: BLE001
-            pass
         # catalog.clearCache() reaches only CacheManager entries; the
         # localCheckpoint RDDs the iterative builders leave behind
         # (BPE vocab rounds, BFS frontiers, ingest decision pins —

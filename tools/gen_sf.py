@@ -148,12 +148,31 @@ def _invalidate_guard_memos() -> None:
     is not importable (the normal standalone-CLI case: the memo is
     per-process, so a fresh process has nothing to invalidate)."""
     try:
-        from welearn_datastack_spark.operators.dedup import clear_probe_memo
+        from welearn_datastack_spark.operators.dedup import (
+            clear_probe_memo,
+            release_guard_caches,
+        )
     except Exception:  # noqa: BLE001 — generation must not require the engine
         return
     n = clear_probe_memo()
     if n:
         print(f"  (invalidated {n} memoized guard verdict(s) after regen)")
+    # the memo is only half the staleness surface: a live session may
+    # still hold guard persists and CacheManager entries built over the
+    # PRE-regen files — Spark would happily serve the forced re-probe
+    # (and the query itself) from the stale cache (round-15
+    # self-review). Release them too, on the active session if any.
+    try:
+        released = release_guard_caches()
+        if released:
+            print(f"  (released {released} live guard cache(s) after regen)")
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — generation must not require a session
+        pass
 
 
 def generate(sf: float, out: str) -> None:

@@ -257,6 +257,54 @@ SELECT q_id, c_id, cosine, rnk FROM (
 )
 
 
+def _ivf_lists_probes(
+    spark: SparkSession, sf_dir: str, *, with_label: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF quantizer for the serve queries (ivf_ann_topk and
+    ivf_grouped_topk share one probe geometry and one _IVF_TAIL
+    oracle, so they must share one construction — round-15
+    self-review): ONE 8-row bounded centroid collect, baked back as
+    literals; returns (lists, probes) = the assigned corpus
+    (vec_id >= 10) and the 2-probe query fan-out (vec_id < 10).
+
+    The row norm is projected ONCE; each centroid's score then costs
+    one dot fold instead of a dot plus two norm folds. The
+    baked-literal fold is compute-dense per row, so the corpus must
+    not inherit a single-split scan's parallelism
+    (fan_out_for_compute is a no-op on parallel layouts)."""
+    from ..operators.similarity import baked_centroid_scores, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # bounded collect: the 8 IVF centroid rows (the quantizer)
+    cent_rows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).collect()
+    ]
+    label = ["label"] if with_label else []
+    base = fan_out_for_compute(emb).select(
+        "vec_id", "embedding", *label, l2_norm(F.col("embedding")).alias("__nrm")
+    )
+    scores = baked_centroid_scores(
+        F.col("embedding"), cent_rows, "cosine", norm_col=F.col("__nrm")
+    )
+    lists = base.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        *label,
+        (-F.array_max(scores)["t"]).alias("cent_id"),
+    )
+    probes = (
+        base.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.slice(F.sort_array(scores, asc=False), 1, 2)).alias("p"),
+        )
+        .select("q_id", "qe", (-F.col("p")["t"]).alias("cent_id"))
+    )
+    return lists, probes
+
+
 @register(
     "ivf_ann_topk",
     _IVF_ORACLE,
@@ -276,37 +324,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine
     from ..operators.topk import top_k_by
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent_rows = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).collect()
-    ]
-    from ..operators.similarity import baked_centroid_scores, l2_norm
-
-    # project the row norm ONCE; each centroid's score then costs one
-    # dot fold instead of a dot plus two norm folds. The baked-literal
-    # fold is compute-dense per row, so the corpus must not inherit a
-    # single-split scan's parallelism (no-op on parallel layouts)
-    base = fan_out_for_compute(emb).select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("__nrm")
-    )
-    scores = baked_centroid_scores(
-        F.col("embedding"), cent_rows, "cosine", norm_col=F.col("__nrm")
-    )
-    lists = base.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        (-F.array_max(scores)["t"]).alias("cent_id"),
-    )
-    probes = (
-        base.filter(F.col("vec_id") < 10)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("qe"),
-            F.explode(F.slice(F.sort_array(scores, asc=False), 1, 2)).alias("p"),
-        )
-        .select("q_id", "qe", (-F.col("p")["t"]).alias("cent_id"))
-    )
+    lists, probes = _ivf_lists_probes(spark, sf_dir)
     scored = lists.join(F.broadcast(probes), on="cent_id").select(
         "q_id", "c_id", F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine")
     )
@@ -354,40 +372,9 @@ SELECT q_id, label, cosine, c_id, rnk FROM (
     "window. grouped_vector_search stays as the exact recall yardstick.",
 )
 def ivf_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import (
-        baked_centroid_scores,
-        l2_norm,
-    )
     from ..operators.similarity import ivf_grouped_topk as ivf_grouped
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # bounded collect: the 8 IVF centroid rows (the quantizer), baked
-    # as literals exactly like ivf_ann_topk's
-    cent_rows = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id").isin(*_CENTROID_IDS)).collect()
-    ]
-    base = fan_out_for_compute(emb).select(
-        "vec_id", "embedding", "label", l2_norm(F.col("embedding")).alias("__nrm")
-    )
-    scores = baked_centroid_scores(
-        F.col("embedding"), cent_rows, "cosine", norm_col=F.col("__nrm")
-    )
-    lists = base.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        "label",
-        (-F.array_max(scores)["t"]).alias("cent_id"),
-    )
-    probes = (
-        base.filter(F.col("vec_id") < 10)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("qe"),
-            F.explode(F.slice(F.sort_array(scores, asc=False), 1, 2)).alias("p"),
-        )
-        .select("q_id", "qe", (-F.col("p")["t"]).alias("cent_id"))
-    )
+    lists, probes = _ivf_lists_probes(spark, sf_dir, with_label=True)
     return ivf_grouped(lists, probes, group_col="label", k_groups=3).select(
         "q_id", "label", "cosine", "c_id", "rnk"
     )

@@ -870,6 +870,13 @@ def _bpe_rounds_cte() -> str:
     definition."""
     rounds = []
     for i in (1, 2, 3):
+        # v{i+1} rewrites via LEFT JOIN ON TRUE, not a cross join: when
+        # a round finds no adjacent pairs, w{i} is EMPTY and a cross
+        # join would empty the vocab for every later round (the Spark
+        # loop breaks and KEEPS it — divergence on degenerate corpora,
+        # round-15 self-review). Left-joined, l/r are NULL, the CASE
+        # condition is NULL, and the fold's else branch is the identity
+        # re-join of s — the vocab survives a dry round unchanged.
         rounds.append(f"""
     c{i} AS (
       SELECT sp[i] AS l, sp[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
@@ -885,7 +892,7 @@ def _bpe_rounds_cte() -> str:
                CASE WHEN regexp_extract(acc, '[^ ]+$') = w{i}.l AND x = w{i}.r
                     THEN regexp_replace(acc, '[^ ]+$', w{i}.l || w{i}.r)
                     ELSE acc || ' ' || x END) AS s
-      FROM v{i}, w{i}
+      FROM v{i} LEFT JOIN w{i} ON TRUE
     )""")
     return ",".join(rounds)
 
@@ -1012,6 +1019,32 @@ def _bpe_apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def _bpe_vocab_rollup(docs: DataFrame) -> DataFrame:
+    """The (w, n, s) vocab rollup every BPE query starts from — one
+    tokenization convention for the whole family (round-15
+    self-review: this block existed twice; a regex or lowercasing
+    change must hit the induction AND the encode path, or the shared
+    DuckDB CTE lies for one of them). localCheckpoint pins it so no
+    merge round rescans the corpus (bounded: |distinct words| rows)."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+        ).alias("w")
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "s",
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)))"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "bpe_merge_3rounds",
     _bpe_round_sql(),
@@ -1036,25 +1069,7 @@ def bpe_merge_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf_dir)
-    words = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
-        ).alias("w")
-    )
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "s",
-            F.expr(
-                "concat_ws(' ', transform(sequence(1, length(w)), "
-                "i -> substring(w, i, 1)))"
-            ),
-        )
-        # pin the corpus rollup: every later round folds THIS frame,
-        # never the corpus (bounded: |distinct words| rows)
-        .localCheckpoint(eager=True)
-    )
+    vocab = _bpe_vocab_rollup(docs)
     out: DataFrame | None = None
     for rnd in (1, 2, 3):
         counted = _bpe_pair_counts(vocab)
@@ -1086,6 +1101,26 @@ def bpe_merge_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bpe_encoded_words(docs: DataFrame) -> DataFrame:
+    """Word stream joined through the induced word→token-count map:
+    (doc_id, lang, w, w_tokens) — the shared corpus pass of both
+    encode consumers (each adds one aggregate/window on top; unused
+    columns prune out of the scan). AQE broadcasts the |vocab|-sized
+    map while it fits; at 100 TB it degrades to a shuffle join on the
+    word key, never a fold per occurrence."""
+    enc = _bpe_encoded_vocab(docs).select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("w_tokens")
+    )
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+        ).alias("w"),
+    )
+    return words.join(enc, on="w")
+
+
 def _bpe_encoded_vocab(docs: DataFrame) -> DataFrame:
     """Induce 3 BPE merges (the bpe_merge_3rounds kernel) and return
     the ENCODED vocab rollup (w, n, s) — the |vocab|-sized
@@ -1094,23 +1129,7 @@ def _bpe_encoded_vocab(docs: DataFrame) -> DataFrame:
     O(|vocab|·wordlen), corpus-size independent; the corpus is
     touched exactly once (the word count) plus once per encode
     consumer (the join back)."""
-    words = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
-        ).alias("w")
-    )
-    vocab = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "s",
-            F.expr(
-                "concat_ws(' ', transform(sequence(1, length(w)), "
-                "i -> substring(w, i, 1)))"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
+    vocab = _bpe_vocab_rollup(docs)
     for _ in (1, 2, 3):
         counted = _bpe_pair_counts(vocab)
         # 1-row bounded fetch: the round's argmax merge rule
@@ -1144,18 +1163,8 @@ def _bpe_encoded_vocab(docs: DataFrame) -> DataFrame:
     "value-hashed.",
 )
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    enc = _bpe_encoded_vocab(docs).select(
-        "w", F.size(F.split("s", " ")).cast("long").alias("w_tokens")
-    )
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
-        ).alias("w"),
-    )
     return (
-        words.join(enc, on="w")
+        _bpe_encoded_words(_docs(spark, sf_dir))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -1177,19 +1186,8 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_budget_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
-    enc = _bpe_encoded_vocab(docs).select(
-        "w", F.size(F.split("s", " ")).cast("long").alias("w_tokens")
-    )
-    words = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
-        ).alias("w"),
-    )
     counts = (
-        words.join(enc, on="w")
+        _bpe_encoded_words(_docs(spark, sf_dir))
         .groupBy("doc_id", "lang")
         .agg(F.sum("w_tokens").cast("long").alias("n_tokens"))
     )
