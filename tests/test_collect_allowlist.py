@@ -29,14 +29,15 @@ ALLOWED = {
         "double aggregations to one scalar, never pair rows",
     ),
     "operators/compaction.py": (
-        2,
-        "per-file listing agg of the compacted dir (file count, not rows) + "
-        "1-row snapshot watermark max",
-    ),
-    "operators/graph.py": (
         1,
-        "1-row (count, xor-hash) edge-set convergence checksum per round",
+        "1-row snapshot watermark max (r15-opt: the compaction plan's "
+        "per-file listing agg became a local directory walk — no Spark "
+        "job, no collect)",
     ),
+    # operators/graph.py dropped out of the census in r15-opt: the
+    # per-round (count, xor-hash) convergence checksum now rides the
+    # checkpoint materialization as an Observation — no driver fetch
+    # of any frame remains in the module.
     "operators/relational.py": (
         1,
         "bloom bitmap: fixed 1024-word aggregate regardless of input rows",
@@ -70,9 +71,10 @@ ALLOWED = {
     ),
     "plans/q_text.py": (
         2,
-        "1-row argmax merge winner per BPE round (limit 1 + collect, "
-        "kmeans centroid discipline) — in bpe_merge_3rounds and, round "
-        "15, _bpe_encoded_vocab (the encode queries' shared inducer)",
+        "1-row argmax merge winner per BPE round (kmeans centroid "
+        "discipline): bpe_merge_3rounds reads rank 1 of its pinned "
+        "<=10-row round checkpoint; _bpe_encoded_vocab (the encode "
+        "queries' shared inducer) keeps the limit-1 TakeOrdered fetch",
     ),
     "sources/collectors.py": (
         1,

@@ -40,38 +40,36 @@ def plan_compaction(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> dict:
     """Inspect a parquet directory and decide how many output files a
-    compaction should produce. Pure metadata read (file listing via
-    the input_file reader metadata, not data)."""
-    files = (
-        spark.read.parquet(path)
-        .select(
-            F.input_file_name().alias("file"),
-            F.lit(1).alias("one"),
-        )
-        .groupBy("file")
-        .count()
-        .collect()
-    )
-    from urllib.parse import unquote, urlparse
+    compaction should produce. Pure metadata read: a local directory
+    walk (data files only — committer metadata like ``_SUCCESS`` and
+    dotfiles are skipped), never a Spark job. The previous
+    implementation enumerated files by scanning every ROW through
+    ``input_file_name()`` + groupBy + collect — a full read of the
+    table to learn its file listing (r15 opt: one whole-scan Spark job
+    removed per compact() call; the stats are identical because the
+    old path resolved the same local file names and ``getsize``d
+    them). Only local paths are supported, exactly as before — remote
+    stores must derive sizes from their filesystem API."""
+    from urllib.parse import urlparse
 
-    names = [unquote(urlparse(r["file"]).path) for r in files]
-    sizes = []
-    unresolved = []
-    for n in names:
-        try:
-            sizes.append(os.path.getsize(n))
-        except OSError:
-            unresolved.append(n)
-    if unresolved:
-        # On a non-local filesystem input_file_name URIs don't map to
-        # local paths; silently treating them as size 0 would plan a
-        # single-file rewrite of the whole table. Refuse instead.
+    parsed = urlparse(path)
+    if parsed.scheme not in ("", "file"):
         raise OSError(
-            f"cannot stat {len(unresolved)}/{len(names)} files "
-            f"(first: {unresolved[0]!r}); plan_compaction only supports "
-            "local paths — derive sizes from the path scheme's "
-            "filesystem API for remote stores"
+            f"plan_compaction only supports local paths, got {path!r} — "
+            "derive sizes from the path scheme's filesystem API for "
+            "remote stores"
         )
+    root = parsed.path or path
+    if not os.path.isdir(root):
+        raise OSError(f"plan_compaction: {root!r} is not a local directory")
+    names = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        # prune committer/staging metadata dirs; keep partition dirs
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                names.append(os.path.join(dirpath, fn))
+    sizes = [os.path.getsize(n) for n in names]
     total = sum(sizes)
     n_out = max(1, math.ceil(total / target_file_bytes))
     return {
@@ -162,8 +160,14 @@ def snapshot_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # the row count rides the write action as an Observation — no
+    # second job re-reading the files just written (r15 opt)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    latest = latest.observe(obs, F.count(F.lit(1)).alias("c"))
     latest.write.mode("overwrite").parquet(snapshot_path)
-    return spark.read.parquet(snapshot_path).count()
+    return int(obs.get["c"])
 
 
 def read_with_snapshot(

@@ -1408,9 +1408,19 @@ def cdc_chunks(
         F.col("__n") - 1 >= window, F.sequence(F.lit(window), F.col("__n") - 1)
     ).otherwise(F.array().cast("array<int>"))
     isb = lambda i: hexint(F.array_join(F.slice(F.col("__t"), i - (window - 1), window), " ")) % divisor == 0  # noqa: E731
-    bf = F.concat(
-        F.array(F.lit(0)), F.filter(cand, isb), F.array(F.col("__n"))
+    # materialize the boundary array as a PROJECTED COLUMN before the
+    # span transform — the same hazard word_shingles' __toks note
+    # documents, but quadratic here: referencing the bf EXPRESSION
+    # inside element_at re-evaluates the whole O(words)-md5 boundary
+    # scan once per element_at call, i.e. O(chunks·words) ≈ words²/8
+    # md5s per document (r15 opt: measured as the bulk of
+    # cdc_chunk_dedup's execution wall; with the column materialized
+    # the scan runs once per row and element_at is O(1))
+    toks = toks.withColumn(
+        "__bf",
+        F.concat(F.array(F.lit(0)), F.filter(cand, isb), F.array(F.col("__n"))),
     )
+    bf = F.col("__bf")
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(bf) - 1),
         lambda k: F.struct(

@@ -14,7 +14,7 @@ the optimizer past a few tens of levels.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -45,9 +45,14 @@ def bfs_min_depth(
             F.col(node_col), F.lit(level).alias("depth")
         )
         # truncate lineage: each level otherwise embeds the whole
-        # previous plan, and the optimizer cost grows with depth
-        fresh = fresh.localCheckpoint(eager=True)
-        if fresh.isEmpty():
+        # previous plan, and the optimizer cost grows with depth; the
+        # frontier count rides the checkpoint job as an Observation so
+        # the emptiness test costs no second action per level
+        obs = Observation()
+        fresh = fresh.observe(obs, F.count(F.lit(1)).alias("c")).localCheckpoint(
+            eager=True
+        )
+        if obs.get["c"] == 0:
             break
         visited = visited.unionByName(fresh)
         frontier = fresh
@@ -156,8 +161,18 @@ def connected_components_star(
     non-null (a node seen only in self-loop edges is its own
     singleton component, as min-label's symmetrize-without-filter
     keeps it)."""
-    nn = edges.selectExpr(f"{src} AS u", f"{dst} AS v").filter(
-        F.col("u").isNotNull() & F.col("v").isNotNull()
+    # pin the caller's edge pipeline ONCE: both the contraction edge
+    # set and the self-loop singleton leg derive from nn, and the
+    # caller's edges are often an expensive pipeline (the LSH candidate
+    # generator) — with two independent eager checkpoints the full
+    # upstream ran TWICE per build (r15 opt: dedup_clusters /
+    # dedup_canonical_pick re-ran shingle→minhash→bands→edges for the
+    # self-loop leg alone). The derived checkpoints below read the
+    # pinned rows, not the upstream.
+    nn = (
+        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=True)
     )
     e = (
         nn.filter(F.col("u") != F.col("v"))
@@ -169,12 +184,18 @@ def connected_components_star(
     # the (typically empty — candidate pairs are a_id < b_id) self-loop
     # subset alone, so the extra exchanges carry self-loop rows, never
     # the full node set, and the contraction hot path is untouched.
+    # The checkpoint job doubles as the emptiness probe (Observation
+    # count rides the same action), so the empty-singleton case can
+    # skip the two broadcast joins + union in the result plan.
+    slo_obs = Observation()
     self_loop_nodes = (
         nn.filter(F.col("u") == F.col("v"))
         .select(F.col("u").alias("node"))
         .dropDuplicates(["node"])
+        .observe(slo_obs, F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
+    n_self_loop = slo_obs.get["c"]
     prev_sig: tuple[int, int] | None = None
     converged = False
     rounds = 0
@@ -188,12 +209,16 @@ def connected_components_star(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
+        # NO dropDuplicates here (r15 opt, one exchange less per
+        # round): duplicate (u, m) edges cannot change the small-star
+        # groupBy MINs, the round-end dedup below canonicalizes the
+        # set before the checksum, and the un-deduped intermediate is
+        # bounded by |sym| = 2|e| rows — never a blowup.
         e = (
             sym.join(mins, on="u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .dropDuplicates(["u", "v"])
         )
         # small-star: orient edges toward the larger endpoint, then
         # hook each node's SMALLER neighbors (and itself) to the min
@@ -201,6 +226,14 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        # count + XOR-of-hashes set checksum: xor never overflows
+        # (sum would, under ANSI) and the edge set is deduped, so
+        # equal (count, xor) pins an unchanged set. The checksum rides
+        # the checkpoint materialization as an Observation (metrics
+        # are published by the same action), so each round is ONE
+        # driver job, not checkpoint + separate agg pass (r15 opt:
+        # halves the per-round job count of the CC loop).
+        obs = Observation()
         e = (
             directed.join(mins, on="u")
             .select(F.col("v").alias("n"), F.col("m"))
@@ -208,16 +241,15 @@ def connected_components_star(
             .filter(F.col("n") != F.col("m"))
             .dropDuplicates(["n", "m"])
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("c"),
+                F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+            )
             .localCheckpoint(eager=True)
         )
-        # count + XOR-of-hashes set checksum: xor never overflows
-        # (sum would, under ANSI) and the edge set is deduped, so
-        # equal (count, xor) pins an unchanged set
-        sig_row = e.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).first()
-        sig = (sig_row["c"], sig_row["h"])
+        m = obs.get
+        sig = (m["c"], m["h"])
         if sig == prev_sig:
             converged = True
             break
@@ -246,7 +278,12 @@ def connected_components_star(
     # set must NOT shuffle the node set: broadcast the tiny side into
     # a semi-probe over labels (map-side, zero exchange), then
     # anti-join the tiny hit list back — both joins broadcast, so the
-    # singleton branch adds no Exchange to the pipeline budget.
+    # singleton branch adds no Exchange to the pipeline budget. With
+    # zero self-loop rows (the common case — candidate pairs arrive
+    # a_id < b_id) the branch is provably empty, so the result plan
+    # skips it outright (the count came free with the checkpoint).
+    if n_self_loop == 0:
+        return resolved
     hits = labels.join(F.broadcast(self_loop_nodes), on="node", how="left_semi")
     singletons = self_loop_nodes.join(
         F.broadcast(hits), on="node", how="left_anti"

@@ -308,7 +308,9 @@ def bucket_key_col(vec_col: Column, planes: list[list[float]]) -> Column:
     projection onto the plane is ≥ 0."""
     signs = []
     for p in planes:
-        const = F.array(*[F.lit(x) for x in p])
+        # single array literal per plane (not dims CreateArray children)
+        # — same planning-cost collapse as baked_centroid_scores
+        const = F.lit([float(x) for x in p])
         proj = F.aggregate(
             F.zip_with(vec_col, const, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
@@ -466,6 +468,20 @@ def sqdist(a: Column, b: Column) -> Column:
     )
 
 
+_SIMPLE_DOUBLE = __import__("re").compile(r"^-?\d+\.\d+$")
+
+
+def _sql_double(v: float) -> str:
+    """Exact SQL rendering of a Python float (IEEE double): plain
+    decimals as a ``D``-suffixed literal; anything else (exponent
+    notation, inf/nan) through a string cast, which round-trips via
+    Double.parseDouble exactly like ``repr`` does."""
+    r = repr(float(v))
+    if _SIMPLE_DOUBLE.match(r):
+        return r + "D"
+    return f"CAST('{r}' AS DOUBLE)"
+
+
 def baked_centroid_scores(vec_col, cent_rows, kind, round_digits=6, norm_col=None):
     """Per-centroid (score, tie) structs with the k centroid vectors
     baked as LITERALS — the quantizer is bounded (k rows, a justified
@@ -478,6 +494,16 @@ def baked_centroid_scores(vec_col, cent_rows, kind, round_digits=6, norm_col=Non
     smallest cent_id). Tie fields are longs so a surfaced cluster id
     keeps the id column's type.
 
+    ``vec_col`` / ``norm_col`` may be SQL fragments (strings) or
+    Columns. PREFER STRINGS: the expression is then assembled as ONE
+    SQL text and parsed in a single py4j round trip — building the
+    same k·dim tree through the Column DSL costs ~3,700 py4j calls
+    per invocation (~0.9 s of pure driver chatter measured at k=8,
+    dim=64; r15 opt), which dominated every iterative builder that
+    re-bakes centroids per round. The parsed tree is identical to the
+    DSL-built one (same functions, same casts, same field order), so
+    results are bit-for-bit unchanged.
+
     For the cosine kind, pass ``norm_col`` — a pre-projected
     ``l2_norm(vec_col)`` column — so the row's norm folds once
     instead of once per centroid; each CENTROID's norm is a driver
@@ -486,6 +512,38 @@ def baked_centroid_scores(vec_col, cent_rows, kind, round_digits=6, norm_col=Non
     scores are bit-identical to ``cosine(vec_col, lit)``."""
     import math
 
+    if isinstance(vec_col, str):
+        if norm_col is not None and not isinstance(norm_col, str):
+            raise TypeError("pass norm_col as a SQL fragment with a str vec_col")
+        if kind == "cosine":
+            norm_sql = norm_col or (
+                f"sqrt(aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * "
+                f"CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+            )
+        structs_sql = []
+        for cid, vec in sorted(cent_rows):
+            arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+            if kind == "cosine":
+                lit_norm = math.sqrt(sum(float(x) * float(x) for x in vec))
+                s = (
+                    f"round(aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
+                    f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+                    f"(acc, x) -> acc + x) / ({norm_sql} * {_sql_double(lit_norm)}), "
+                    f"{round_digits})"
+                )
+                t = f"CAST({-int(cid)} AS BIGINT)"
+            else:
+                s = (
+                    f"round(aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
+                    f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                    f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, "
+                    f"(acc, x) -> acc + x), {round_digits})"
+                )
+                t = f"CAST({int(cid)} AS BIGINT)"
+            structs_sql.append(f"struct({s} AS s, {t} AS t)")
+        return F.expr("array(" + ",".join(structs_sql) + ")")
+
+    # legacy Column path — identical expressions through the DSL
     structs = []
     for cid, vec in sorted(cent_rows):
         lit = F.array(*[F.lit(float(x)) for x in vec])
@@ -571,9 +629,10 @@ def kmeans_fixed(
     vectors = fan_out_for_compute(vectors)
     assign = None
     for it in range(n_iter):
-        scores = baked_centroid_scores(
-            F.col(vec_col), cent_rows, "sqdist", round_digits
-        )
+        # vec_col passed as a SQL fragment: one parsed expression per
+        # iteration instead of thousands of py4j DSL calls (see
+        # baked_centroid_scores)
+        scores = baked_centroid_scores(vec_col, cent_rows, "sqdist", round_digits)
         best = F.array_min(scores)
         assign = vectors.select(
             vid,
@@ -583,17 +642,27 @@ def kmeans_fixed(
         )
         if it < n_iter - 1:  # the final assignment IS the output — no
             # update after it (a C_n nothing reads)
-            cent_rows = [
-                (r["cluster"], [r[f"__c{i}"] for i in range(dim)])
-                for r in assign.groupBy("cluster")
-                .agg(
-                    *[
-                        F.round(F.avg(F.col(vec_col)[i]), round_digits).alias(f"__c{i}")
-                        for i in range(dim)
-                    ]
-                )
+            # update via posexplode → (cluster, pos) avg, NOT dim
+            # per-dimension avg columns: the k·dim-column aggregate
+            # plan (on top of the baked-scores projection) was the
+            # single most expensive thing Catalyst planned per
+            # iteration (r15 opt attribution), while the exploded
+            # form's plan is a few nodes. Shuffle volume is the same
+            # k·dim partial cells per map task (rows instead of
+            # columns), the collect is the same bounded k·dim values,
+            # and each (cluster, pos) accumulator sees the exact
+            # per-partition row order the column form saw, so the
+            # rounded means are unchanged.
+            rows = (
+                assign.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("v"), round_digits).alias("m"))
                 .collect()
-            ]
+            )
+            by_c: dict = {}
+            for r in rows:
+                by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+            cent_rows = [(c, [d[i] for i in range(dim)]) for c, d in by_c.items()]
     out = assign.select(vid, "cluster", "d2")
     if not with_centroids:
         return out

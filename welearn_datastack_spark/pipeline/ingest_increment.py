@@ -27,9 +27,10 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -78,6 +79,18 @@ class LshParams:
 
 
 _DEFAULT_PARAMS = LshParams()
+
+
+def _run_concurrently(*thunks):
+    """Run independent Spark actions from driver threads so the later
+    job's tasks back-fill executors freed by the earlier job's tail —
+    the two legs of the state store (content hashes / band keys) and
+    the two compaction rewrites touch disjoint directories and share
+    no lineage, so serializing them only serialized their stragglers
+    (optimization guide §2.6). Results in submission order; the first
+    exception propagates."""
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return [f.result() for f in [pool.submit(t) for t in thunks]]
 
 
 def size_lsh_params(
@@ -163,9 +176,13 @@ def build_state(
     ``state_dir/doc_hashes`` and ``state_dir/band_store`` parquet,
     plus ``lsh_params.json`` recording the parameterization so every
     later probe/transition rebuilds bands identically."""
-    content_hashes(docs).write.mode("overwrite").parquet(f"{state_dir}/doc_hashes")
-    band_keys(docs, params=params).write.mode("overwrite").parquet(
-        f"{state_dir}/band_store"
+    _run_concurrently(
+        lambda: content_hashes(docs)
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/doc_hashes"),
+        lambda: band_keys(docs, params=params)
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/band_store"),
     )
     with open(_params_path(state_dir), "w") as f:
         json.dump(asdict(params), f)
@@ -213,7 +230,7 @@ def build_state_bucketed(
     delta vs the path-based store are pinned in
     tests/test_bucketed_layout.py."""
     spark = docs.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_doc_hashes")
+    _drop_table_and_orphan(spark, f"{table_prefix}_doc_hashes")
     (
         content_hashes(docs)
         .write.format("parquet")
@@ -222,7 +239,7 @@ def build_state_bucketed(
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_doc_hashes")
     )
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_band_store")
+    _drop_table_and_orphan(spark, f"{table_prefix}_band_store")
     (
         band_keys(docs, params=params)
         .write.format("parquet")
@@ -370,14 +387,23 @@ def apply_transitions(
     new_ids = decisions.filter(F.col("state") == "new").select("doc_id")
     admitted = batch.join(new_ids, on="doc_id")
     # decisions derive from a lazy probe over the files being appended
-    # to — pin them before the writes (bounded: |batch| rows of ids)
-    admitted = admitted.localCheckpoint(eager=True)
-    params = load_params(state_dir)
-    content_hashes(admitted).write.mode("append").parquet(f"{state_dir}/doc_hashes")
-    band_keys(admitted, params=params).write.mode("append").parquet(
-        f"{state_dir}/band_store"
+    # to — pin them before the writes (bounded: |batch| rows of ids);
+    # the admitted count rides the checkpoint job as an Observation so
+    # the return value costs no extra action
+    obs = Observation()
+    admitted = admitted.observe(obs, F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
     )
-    return admitted.count()
+    params = load_params(state_dir)
+    _run_concurrently(
+        lambda: content_hashes(admitted)
+        .write.mode("append")
+        .parquet(f"{state_dir}/doc_hashes"),
+        lambda: band_keys(admitted, params=params)
+        .write.mode("append")
+        .parquet(f"{state_dir}/band_store"),
+    )
+    return int(obs.get["c"])
 
 
 def ingest_increment(
@@ -433,20 +459,38 @@ def compact_state(
     tests/test_e2e_pipeline.py. The params sidecar is untouched."""
     from ..operators.compaction import compact
 
-    return {
-        "doc_hashes": compact(
+    hashes_stats, band_stats = _run_concurrently(
+        lambda: compact(
             spark,
             f"{state_dir}/doc_hashes",
             target_file_bytes,
             [F.col("content_hash")],
         ),
-        "band_store": compact(
+        lambda: compact(
             spark,
             f"{state_dir}/band_store",
             target_file_bytes,
             [F.col("band"), F.col("band_key")],
         ),
-    }
+    )
+    return {"doc_hashes": hashes_stats, "band_store": band_stats}
+
+
+def _drop_table_and_orphan(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS, then purge an ORPHANED managed location: a
+    killed earlier run can leave the warehouse directory on disk with no
+    catalog entry, and ``saveAsTable`` then refuses with
+    LOCATION_ALREADY_EXISTS. Only removes a local-filesystem path, and
+    only after verifying the catalog really has no such table."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if spark.catalog.tableExists(table):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file") and wh.path:
+        shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
 
 
 def fold_state_bucketed(
@@ -463,7 +507,7 @@ def fold_state_bucketed(
     different layout). The path store's ``lsh_params.json`` sidecar
     travels with the fold (band-store TBLPROPERTY), so the folded
     tables stay self-describing."""
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_doc_hashes")
+    _drop_table_and_orphan(spark, f"{table_prefix}_doc_hashes")
     (
         spark.read.parquet(f"{state_dir}/doc_hashes")
         .write.format("parquet")
@@ -472,7 +516,7 @@ def fold_state_bucketed(
         .mode("overwrite")
         .saveAsTable(f"{table_prefix}_doc_hashes")
     )
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_band_store")
+    _drop_table_and_orphan(spark, f"{table_prefix}_band_store")
     (
         spark.read.parquet(f"{state_dir}/band_store")
         .write.format("parquet")

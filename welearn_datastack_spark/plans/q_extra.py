@@ -2069,17 +2069,34 @@ def snapshot_tail_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
-    ev.write.parquet(f"{work}/log")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    if lo is None:
+
+    # the full-log write shares no lineage with the snapshot chain
+    # (agg → old-half write → snapshot build) until the final read —
+    # overlap them so the chain's jobs back-fill the write's tail
+    # (guide §2.6; r15 opt)
+    from ..pipeline.ingest_increment import _run_concurrently
+
+    bounds: dict = {}
+
+    def _full_log() -> None:
+        ev.write.parquet(f"{work}/log")
+
+    def _snapshot_chain() -> None:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        bounds["lo"] = lo
+        if lo is None:
+            return
+        cutoff = lo + (hi - lo) / 2
+        ev.filter(F.col("ts") <= F.lit(cutoff)).write.parquet(f"{work}/log_old")
+        snapshot_latest(
+            spark, f"{work}/log_old", f"{work}/snap", ["user_id"], "ts",
+            tie_break=["event_id"],
+        )
+
+    _run_concurrently(_full_log, _snapshot_chain)
+    if bounds["lo"] is None:
         # empty log: no snapshot to build, latest-state view is empty
         return ev
-    cutoff = lo + (hi - lo) / 2
-    ev.filter(F.col("ts") <= F.lit(cutoff)).write.parquet(f"{work}/log_old")
-    snapshot_latest(
-        spark, f"{work}/log_old", f"{work}/snap", ["user_id"], "ts",
-        tie_break=["event_id"],
-    )
     return read_with_snapshot(
         spark, f"{work}/snap", f"{work}/log", ["user_id"], "ts",
         tie_break=["event_id"],

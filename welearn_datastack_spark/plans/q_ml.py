@@ -285,7 +285,7 @@ def _ivf_lists_probes(
         "vec_id", "embedding", *label, l2_norm(F.col("embedding")).alias("__nrm")
     )
     scores = baked_centroid_scores(
-        F.col("embedding"), cent_rows, "cosine", norm_col=F.col("__nrm")
+        "embedding", cent_rows, "cosine", norm_col="__nrm"
     )
     lists = base.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("c_id"),
@@ -1279,7 +1279,7 @@ def ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = [(r["cent_id"], list(r["ce"])) for r in cents.collect()]
     from ..operators.similarity import baked_centroid_scores
 
-    scores = baked_centroid_scores(F.col("embedding"), cent_rows, "sqdist")
+    scores = baked_centroid_scores("embedding", cent_rows, "sqdist")
     lists = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("ce"),

@@ -1076,23 +1076,34 @@ def bpe_merge_3rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank = F.row_number().over(
             W.orderBy(F.desc("cnt"), "left_sym", "right_sym")
         )
-        ranked = counted.select(
-            F.lit(rnd).alias("merge_round"),
-            rank.cast("int").alias("rnk"),
-            "left_sym",
-            "right_sym",
-            "cnt",
-        ).filter(F.col("rnk") <= 10)
-        out = ranked if out is None else out.unionByName(ranked)
-        # the round's winner: a 1-row bounded fetch (limit 1), baked
-        # into the next round's fold as literals — kmeans centroid
-        # discipline. Empty only when no pairs exist at all, in which
-        # case every later round is empty too (both engines agree).
-        top = (
-            counted.orderBy(F.desc("cnt"), "left_sym", "right_sym")
-            .limit(1)
-            .collect()
+        # each round's top-10 is PINNED (eager checkpoint, ≤10 rows):
+        # the round's winner then comes from the pinned rows instead
+        # of a second TakeOrdered pass over the counts, and the final
+        # sink unions three 10-row checkpoints instead of re-running
+        # all three count+window plans (r15 opt: the sink recompute
+        # was the single largest slice of this query's warm wall)
+        ranked = (
+            counted.select(
+                F.lit(rnd).alias("merge_round"),
+                rank.cast("int").alias("rnk"),
+                "left_sym",
+                "right_sym",
+                "cnt",
+            )
+            .filter(F.col("rnk") <= 10)
+            .localCheckpoint(eager=True)
         )
+        out = ranked if out is None else out.unionByName(ranked)
+        if rnd == 3:
+            # the final round's winner is never applied (out is
+            # complete) — skip the dead rewrite + checkpoint
+            break
+        # the round's winner: rank-1 of the pinned top-10 (bounded
+        # fetch), baked into the next round's fold as literals —
+        # kmeans centroid discipline. Empty only when no pairs exist
+        # at all, in which case every later round is empty too (both
+        # engines agree).
+        top = ranked.filter(F.col("rnk") == 1).collect()
         if not top:
             break
         vocab = _bpe_apply_merge(
