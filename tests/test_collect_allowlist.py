@@ -34,10 +34,16 @@ ALLOWED = {
         "per-file listing agg became a local directory walk — no Spark "
         "job, no collect)",
     ),
-    # operators/graph.py dropped out of the census in r15-opt: the
-    # per-round (count, xor-hash) convergence checksum now rides the
-    # checkpoint materialization as an Observation — no driver fetch
-    # of any frame remains in the module.
+    # the per-round (count, xor-hash) convergence checksum rides the
+    # checkpoint materialization as an Observation (r15-opt) — the one
+    # remaining graph.py fetch is the CC small-remainder finish:
+    "operators/graph.py": (
+        1,
+        "CC local finish: edge set collected only after an Observation "
+        "count certifies it <= spark.welearn.cc.localFinishEdges "
+        "(default 65536) — a bounded contraction-tail fetch, union-find "
+        "on the driver replaces ~1 s/round fixed-overhead tail rounds",
+    ),
     "operators/relational.py": (
         1,
         "bloom bitmap: fixed 1024-word aggregate regardless of input rows",

@@ -152,16 +152,70 @@ def test_cc_star_topology_labels_and_round_budget(spark, name):
     edges = _topology(name, n, random.Random(42))
     df = spark.createDataFrame(edges, "src: long, dst: long")
     stats: dict = {}
+    # local_finish_edges=0 pins the DISTRIBUTED contraction path: the
+    # r15-opt small-remainder local finish would otherwise absorb all
+    # of these (<= 20k-edge) graphs and the round budget — the O(log n)
+    # claim this test exists for — would go unexercised
     got = {
         r["node"]: r["component"]
-        for r in connected_components_star(df, stats=stats).collect()
+        for r in connected_components_star(
+            df, stats=stats, local_finish_edges=0
+        ).collect()
     }
     # oracle parity: min-label per node must be exact; self-loop rows
     # in sparse_random keep their node as a singleton, matching the
     # union-find oracle (which also sees (x, x))
     want = _union_find_labels(edges)
     assert got == want
+    assert not stats["local_finish"], stats
     # measured on these shapes: path 12, barbell 12, star 2,
     # sparse_random ≤ 12 — all within ceil(log2 n) + 2 = 16, leaving
     # ≥ 9 rounds of headroom under max_iters=25
     assert stats["rounds"] <= math.ceil(math.log2(n)) + 2, stats
+
+
+@pytest.mark.parametrize("name", ["path", "barbell", "sparse_random"])
+def test_cc_star_local_finish_parity(spark, name):
+    """The r15-opt small-remainder local finish (bounded union-find
+    collect once the Observation-counted edge set fits the cutoff)
+    must label every topology EXACTLY like the distributed
+    contraction — including a mid-loop switch (cutoff smaller than
+    the initial edge count, so real contraction rounds run first)."""
+    from welearn_datastack_spark.operators.graph import connected_components_star
+
+    n = 2_000
+    edges = _topology(name, n, random.Random(7))
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    want = _union_find_labels(edges)
+    # immediate local finish (cutoff >= |E|)
+    stats_imm: dict = {}
+    got_imm = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, stats=stats_imm).collect()
+    }
+    assert got_imm == want
+    assert stats_imm["local_finish"] and stats_imm["rounds"] == 0, stats_imm
+
+
+def test_cc_star_local_finish_mid_loop_switch(spark):
+    """Mid-loop switch: a cutoff BELOW the initial edge count but
+    ABOVE the converged star size (= nodes - components) forces real
+    contraction rounds first, then the Observation count admits the
+    tail to the bounded collect. The barbell is the topology whose
+    edge set actually SHRINKS through contraction (dense cliques
+    collapse to stars); path/star graphs converge at their initial
+    size, so a mid-loop trigger can never fire there."""
+    from welearn_datastack_spark.operators.graph import connected_components_star
+
+    edges = _topology("barbell", 2_000, random.Random(7))
+    assert len(edges) > 3_000  # two 100-cliques: ~9.9k edges each
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    stats_mid: dict = {}
+    got_mid = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            df, stats=stats_mid, local_finish_edges=3_000
+        ).collect()
+    }
+    assert got_mid == _union_find_labels(edges)
+    assert stats_mid["local_finish"] and stats_mid["rounds"] >= 1, stats_mid

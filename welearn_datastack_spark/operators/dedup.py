@@ -856,7 +856,23 @@ def lsh_candidates(band_keys: DataFrame, id_col: str) -> DataFrame:
     has carried since round 7; pairs sharing several bands are
     deduplicated exactly as before. The pair SET is identical — the
     oracle gates (`minhash_lsh_candidates(_hashed)`,
-    `lsh_dedup_recall`) verify the rewrite unchanged."""
+    `lsh_dedup_recall`) verify the rewrite unchanged.
+
+    The band frame is PINNED first (r15 opt): the chunk-split's two
+    sides diverge at their explodes, so exchange reuse cannot unify
+    them and the caller's whole shingle→minhash→band pipeline was
+    evaluated TWICE per sink (the measured plan carried two complete
+    copies, one under the chunk join's BroadcastExchange). The pin is
+    linear — |D|·n_bands narrow rows at any scale. An input a guard
+    already persisted (persist_on_probe — CacheManager matches the
+    plan even on a sibling query's fresh build) is NOT re-pinned:
+    both chunk-split sides read the InMemoryRelation directly, which
+    already dedups the upstream compute and keeps the round-13
+    sibling-cache-hit plan shape (test_sampled_cache_feeds_sibling_
+    plan) intact."""
+    sl = band_keys.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        band_keys = band_keys.localCheckpoint(eager=True)
     pairs = chunked_self_pairs(
         band_keys, ["band", "band_key"], id_col, payload_cols=[]
     )

@@ -121,12 +121,37 @@ def connected_components_min_label(
     return labels
 
 
+def _union_find_min_labels(rows) -> dict:
+    """Min-id component label per node over an edge list — the
+    driver-side finisher for :func:`connected_components_star`'s
+    small-remainder path. Path-halving union-find; O(E α(E))."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the root IS the component label
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
     stats: dict | None = None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., *Connected Components in MapReduce
@@ -160,7 +185,28 @@ def connected_components_star(
     row per node that appears in ``edges`` with both endpoints
     non-null (a node seen only in self-loop edges is its own
     singleton component, as min-label's symmetrize-without-filter
-    keeps it)."""
+    keeps it).
+
+    SMALL-REMAINDER LOCAL FINISH (r15 opt, guide §1.2 step 1 /
+    §7.3): every contraction round preserves BOTH the node set (each
+    endpoint of a round-N edge reappears in round N+1 — large-star
+    re-emits larger endpoints and their mins, small-star re-emits
+    (v, m) plus (u, m); the only drops are self-pairs whose node
+    survives as the other side's min) and the component partition, so
+    a union-find over ANY round's edge set yields exactly the labels
+    contraction would converge to. Each distributed round costs ~1 s
+    of fixed driver/AQE overhead regardless of size, so once the
+    (Observation-counted, hence free) edge count is at or below
+    ``local_finish_edges`` the loop collects the remaining edges —
+    a BOUNDED driver fetch, the kmeans-centroid discipline — and
+    finishes with :func:`_union_find_min_labels` instead of paying
+    O(log remaining) more rounds. Default cutoff: conf
+    ``spark.welearn.cc.localFinishEdges`` (65536; ≈1-8 MB of id
+    pairs); pass ``0`` to disable (the property tests pin the
+    distributed path this way). At 100 TB scale the early rounds run
+    distributed exactly as before and the switch only replaces the
+    contraction TAIL, where per-round overhead dominates shrinking
+    data."""
     # pin the caller's edge pipeline ONCE: both the contraction edge
     # set and the self-loop singleton leg derive from nn, and the
     # caller's edges are often an expensive pipeline (the LSH candidate
@@ -174,11 +220,35 @@ def connected_components_star(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
+    if local_finish_edges is None:
+        local_finish_edges = int(
+            spark.conf.get("spark.welearn.cc.localFinishEdges", "65536")
+        )
+
+    def _finish_local(edge_df: DataFrame) -> DataFrame:
+        """Union-find the remaining (count-certified <= cutoff) edges
+        on the driver; returns the same (node, component) frame the
+        converged contraction would yield for these nodes."""
+        from pyspark.sql.types import StructField, StructType
+
+        comp = _union_find_min_labels((r[0], r[1]) for r in edge_df.collect())
+        node_t = edge_df.schema[0].dataType
+        schema = StructType(
+            [StructField("node", node_t), StructField("component", node_t)]
+        )
+        return spark.createDataFrame(list(comp.items()), schema)
+
+    # the initial dedup'd edge count rides the checkpoint job as an
+    # Observation — it certifies the local-finish collect bound
+    init_obs = Observation()
     e = (
         nn.filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
+        .observe(init_obs, F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
+    n_edges = init_obs.get["c"]
     # contract parity with min-label: a node seen ONLY in self-loop
     # edges must survive as its own singleton component. Computed from
     # the (typically empty — candidate pairs are a_id < b_id) self-loop
@@ -199,7 +269,13 @@ def connected_components_star(
     prev_sig: tuple[int, int] | None = None
     converged = False
     rounds = 0
+    local_labels: DataFrame | None = None
+    if local_finish_edges and n_edges <= local_finish_edges:
+        local_labels = _finish_local(e)
+        converged = True
     for _ in range(max_iters):
+        if converged:
+            break
         rounds += 1
         # large-star: from each node u, hook every LARGER neighbor to
         # m(u) = min(N(u) ∪ {u}) — doubling toward the minimum
@@ -254,11 +330,19 @@ def connected_components_star(
             converged = True
             break
         prev_sig = sig
+        # the round's edge count came free with the checkpoint: once
+        # the contraction tail fits the bounded-collect cutoff, finish
+        # it locally instead of paying more fixed-overhead rounds
+        if local_finish_edges and m["c"] <= local_finish_edges:
+            local_labels = _finish_local(e)
+            converged = True
+            break
     if stats is not None:
         # diagnostic out-param: rounds actually used, so callers and
         # the topology property tests can assert max_iters headroom
         # (the O(log n) claim) instead of just "didn't raise"
         stats["rounds"] = rounds
+        stats["local_finish"] = local_labels is not None
     if not converged:
         raise RuntimeError(
             f"connected_components_star: edge-set checksum still moving after "
@@ -269,10 +353,13 @@ def connected_components_star(
     # at convergence every edge is (node, component-min); roots carry
     # no outgoing edge and label themselves; nodes with no surviving
     # non-self edge (isolated by the u != v filter) self-label
-    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
-        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
-    )
-    resolved = labels.groupBy("node").agg(F.min("component").alias("component"))
+    if local_labels is not None:
+        labels = resolved = local_labels
+    else:
+        labels = e.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        ).unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        resolved = labels.groupBy("node").agg(F.min("component").alias("component"))
     # self-loop-only nodes become singleton components. Subtracting
     # the full label set from the (tiny, typically empty) self-loop
     # set must NOT shuffle the node set: broadcast the tiny side into

@@ -1578,7 +1578,6 @@ def stream_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _gate_scratch("stream_ingest", sf_dir)
     docs = _docs(spark, sf_dir)
     m = F.col("doc_id") % 5
-    build_state(docs.filter(m.isin(1, 2, 3)), f"{work}/state")
     src = f"{work}/incoming"
     os.makedirs(src, exist_ok=True)
 
@@ -1589,8 +1588,17 @@ def stream_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(part, f"{src}/{name}.parquet")
 
     # two arrivals, one checkpoint: the second invocation processes
-    # ONLY the b file (exactly-once), against the A-transitioned state
-    land(docs.filter(m == 4), "a")
+    # ONLY the b file (exactly-once), against the A-transitioned state.
+    # Landing the A file shares no lineage or directory with the state
+    # build — overlap them so the single-task coalesce(1) write rides
+    # the state build's idle cores (guide §2.6); BOTH must complete
+    # before the stream starts (the stream probes the state)
+    from ..pipeline.ingest_increment import _run_concurrently
+
+    _run_concurrently(
+        lambda: build_state(docs.filter(m.isin(1, 2, 3)), f"{work}/state"),
+        lambda: land(docs.filter(m == 4), "a"),
+    )
     stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
     land(docs.filter(m == 0), "b")
     stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")

@@ -842,12 +842,19 @@ def semantic_assignment_frames(
     # — quadratic, and measured as 102 of 116 s at sf1. Instead each
     # vector scores ONLY the ~4 centroids sharing its sign-bucket;
     # bucketless vectors self-assign as singleton clusters.
+    # pin the fold products ONCE (r15 opt): tagged is referenced by
+    # the centroid leg, the assignment probe, and every caller's
+    # member join — un-pinned, the per-vector bucket/norm folds (the
+    # widest expressions in the plan) are REPLICATED into each
+    # consumer subtree, which both re-executes them and bloats the
+    # logical plan Catalyst re-optimizes on every sink (measured
+    # ~1.3 s/opt pass on semantic_dedup_flags at sf0.1)
     tagged = emb.select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("nrm"),
         bucket_key_col(F.col("embedding"), planes).alias("bk"),
-    )
+    ).localCheckpoint(eager=True)
     cents = tagged.filter(F.col("vec_id") % stride == off).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("ce"),
@@ -858,10 +865,16 @@ def semantic_assignment_frames(
     # the arg-max is map-side-combinable (operators/similarity.
     # bucket_pruned_assign, shared with the incremental variant)
     best = bucket_pruned_assign(tagged, cents)
+    # tagged.select over the pinned rows, not a second emb scan —
+    # same vec_id set by construction
     assign = (
-        emb.select("vec_id")
+        tagged.select("vec_id")
         .join(best, on="vec_id", how="left")
         .select("vec_id", F.coalesce("cent_id", "vec_id").alias("cent_id"))
+        # narrow (two ids/row) and consumed by both the member join
+        # and the final dup join — pin so the broadcast-argmax probe
+        # runs once per build
+        .localCheckpoint(eager=True)
     )
     return tagged, assign
 
@@ -1079,12 +1092,15 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stored = emb.filter(stored_ids).count()
     stride, off = stride_centroid_params(n_stored)
     planes = derive_planes(seed=211, n_bits=sem_assign_bits(n_stored), dims=64)
+    # pinned for the same reason as semantic_assignment_frames (r15
+    # opt): tag_s/tag_i/cents and both assignment probes all re-embed
+    # the bucket/norm fold subtree otherwise
     tagged = emb.select(
         "vec_id",
         "embedding",
         l2_norm(F.col("embedding")).alias("nrm"),
         bucket_key_col(F.col("embedding"), planes).alias("bk"),
-    )
+    ).localCheckpoint(eager=True)
     tag_s = tagged.filter(stored_ids)
     tag_i = tagged.filter(~stored_ids)
     cents = tag_s.filter(F.col("vec_id") % stride == off).select(
@@ -1106,7 +1122,9 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag_s.select("vec_id", F.col("embedding").alias("se"), F.col("nrm").alias("sn")),
         on="vec_id",
     ).select(F.col("vec_id").alias("s_id"), "cent_id", "se", "sn")
-    assign_i = assigned(tag_i)
+    # narrow (two ids/row), consumed by the probe join AND the final
+    # dup join — pin so the incoming-side assignment runs once
+    assign_i = assigned(tag_i).localCheckpoint(eager=True)
     # Volume-guard adjudication (round 13): structurally bounded, no
     # guard needed — this is a batch-vs-stored equi-join on cent_id, so
     # the SHUFFLE carries each side exactly once (linear in |batch| +

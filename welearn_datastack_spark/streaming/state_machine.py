@@ -364,13 +364,22 @@ def stream_ingest_probe(
     schema = spark.read.parquet(docs_path).schema
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         # pin the decisions before the writes: they derive from a lazy
-        # probe over the very state files apply_transitions appends to
-        decisions = probe_batch(spark, batch_df, state_dir).localCheckpoint(
-            eager=True
+        # probe over the very state files apply_transitions appends to.
+        # |decisions| == |batch| by construction (one decision per
+        # incoming doc), so the emptiness test rides the checkpoint as
+        # an Observation instead of a separate isEmpty job per batch
+        # (r15 opt) — an empty replay batch still writes nothing
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        decisions = (
+            probe_batch(spark, batch_df, state_dir)
+            .observe(obs, F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
         )
+        if obs.get["c"] == 0:
+            return
         # per-batch overwrite, not append: foreachBatch replays on
         # crash-restart, and the deterministic directory makes the
         # decision log idempotent under replay (see docstring)
