@@ -110,6 +110,22 @@ def get_spark(app_name: str = "welearn-spark", shuffle_partitions: int | None = 
         # between a query's runs at the default size — warm runs must
         # measure the plan, not Janino.
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # static conf; default true. PySpark 4 wraps every DataFrame
+        # API call in a call-site capture (pyspark/errors/utils.py
+        # _with_origin: an inspect-stack walk plus two py4j round
+        # trips) so JVM errors can cite the Python line. Profiling the
+        # expression-heavy builders (r15 opt) measured it at ~45% of
+        # their pure-driver build time (open_alex roundtrip: 2.9 s of
+        # a 4.7 s build across 306 wrapped calls). Debug provenance
+        # for failed queries is not worth 2x build latency on every
+        # query on any deployment, local or cluster. Env-overridable
+        # (it is a STATIC conf, so a session cannot flip it later):
+        # SPARK_GRAFT_DF_DEBUG=true restores the provenance wrapper
+        # for interactive debugging / A-B evidence.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
     )
     spark = builder.getOrCreate()
     # spark.sql.codegen.cache.maxEntries is a STATIC conf: getOrCreate()
