@@ -338,3 +338,53 @@ def test_state_maintenance_cycle_equivalence(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS maint_fold_test_doc_hashes")
         spark.sql("DROP TABLE IF EXISTS maint_fold_test_band_store")
+
+
+def test_precomputed_batch_frames_equivalent(spark, sf_dir, tmp_path):
+    """r15 opt: probe_batch/apply_transitions accept the batch's
+    precomputed (pinned) hash/band frames so the minhash pipeline runs
+    once per ingest cycle instead of twice. The path must be
+    decision- AND state-equivalent to the default: same decisions
+    row-for-row, same admitted count, byte-identical state-store
+    contents after the transition."""
+    from welearn_datastack_spark.pipeline.ingest_increment import (
+        apply_transitions,
+        band_keys,
+        build_state,
+        content_hashes,
+        probe_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_pred = F.col("doc_id") % 5 == 0
+    batch = docs.filter(batch_pred)
+
+    def run(state: str, precompute: bool):
+        build_state(docs.filter(~batch_pred), state)
+        if precompute:
+            bands = band_keys(batch).localCheckpoint(eager=True)
+            hashes = content_hashes(batch)
+            dec = probe_batch(
+                spark, batch, state, batch_hashes=hashes, batch_bands=bands
+            ).localCheckpoint(eager=True)
+            admitted = apply_transitions(
+                spark, batch, dec, state, batch_hashes=hashes, batch_bands=bands
+            )
+        else:
+            dec = probe_batch(spark, batch, state).localCheckpoint(eager=True)
+            admitted = apply_transitions(spark, batch, dec, state)
+        decisions = sorted(
+            (r["doc_id"], r["exact_dup_of"], r["near_dup"], r["state"])
+            for r in dec.collect()
+        )
+        stored_hashes = sorted(
+            map(tuple, spark.read.parquet(f"{state}/doc_hashes").collect())
+        )
+        stored_bands = sorted(
+            map(tuple, spark.read.parquet(f"{state}/band_store").collect())
+        )
+        return decisions, admitted, stored_hashes, stored_bands
+
+    default = run(str(tmp_path / "state_default"), precompute=False)
+    pinned = run(str(tmp_path / "state_pinned"), precompute=True)
+    assert pinned == default

@@ -265,8 +265,11 @@ def test_stream_near_leg_is_decision_only(spark, sf_dir, tmp_path, monkeypatch):
     captured: dict = {}
     real = inc.probe_batch
 
-    def spy(spark_, batch, state_dir, count_candidates=False):
-        d = real(spark_, batch, state_dir, count_candidates=count_candidates)
+    def spy(spark_, batch, state_dir, count_candidates=False, **precomputed):
+        d = real(
+            spark_, batch, state_dir,
+            count_candidates=count_candidates, **precomputed,
+        )
         captured["count_candidates"] = count_candidates
         captured["plan"] = d._jdf.queryExecution().executedPlan().toString()
         return d

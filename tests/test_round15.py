@@ -297,3 +297,32 @@ def test_stamp_staleness_flags_dirty_rev(round_close, tmp_path):
     assert round_close.stamp_staleness(tmp_path / "missing.json") == "no artifact"
     p.write_text(json.dumps({}))
     assert "no rev" in round_close.stamp_staleness(p)
+
+
+def test_memo_count_invalidates_on_rewrite(spark, tmp_path):
+    """r15 opt: the sizing-count memo must key on input content — a
+    same-path in-place rewrite re-counts, a repeat build memo-hits,
+    and clear_count_memo drops everything (the regen hook)."""
+    from welearn_datastack_spark.sources.tables import (
+        _COUNT_MEMO,
+        clear_count_memo,
+        memo_count,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(7).write.mode("overwrite").parquet(p)
+    clear_count_memo()
+    assert memo_count(spark.read.parquet(p)) == 7
+    n_keys = len(_COUNT_MEMO)
+    assert n_keys == 1
+    # repeat build of the same plan over unchanged files: memo hit
+    assert memo_count(spark.read.parquet(p)) == 7
+    assert len(_COUNT_MEMO) == n_keys
+    # in-place rewrite: the snapshot (mtime/size/paths) changes, the
+    # stale 7 must not be served
+    import time
+
+    time.sleep(0.05)  # mtime_ns granularity guard
+    spark.range(11).write.mode("overwrite").parquet(p)
+    assert memo_count(spark.read.parquet(p)) == 11
+    assert clear_count_memo() >= 1 and not _COUNT_MEMO

@@ -157,6 +157,14 @@ def _invalidate_guard_memos() -> None:
     n = clear_probe_memo()
     if n:
         print(f"  (invalidated {n} memoized guard verdict(s) after regen)")
+    try:
+        from welearn_datastack_spark.sources.tables import clear_count_memo
+
+        nc = clear_count_memo()
+        if nc:
+            print(f"  (invalidated {nc} memoized sizing count(s) after regen)")
+    except Exception:  # noqa: BLE001 — generation must not require the engine
+        pass
     # the memo is only half the staleness surface: a live session may
     # still hold guard persists and CacheManager entries built over the
     # PRE-regen files — Spark would happily serve the forced re-probe

@@ -601,7 +601,11 @@ def kmeans_fixed(
     loses every member drops out (no re-seeding), same as the SQL
     twin. Returns the FINAL assignment (id, cluster, d2); with
     ``with_centroids`` also the final (cent_id, ce) centroid table —
-    the learned coarse quantizer an IVF index build feeds on.
+    the learned coarse quantizer an IVF index build feeds on
+    (``with_centroids="rows"`` returns the same quantizer as the
+    driver-side row list the loop already holds, skipping the
+    createDataFrame→collect round trip a baked-literal consumer
+    would otherwise pay).
     """
     assert n_iter >= 1, "n_iter must be >= 1"
     assert len(init_ids) >= 1, "init_ids must seed at least one centroid"
@@ -666,6 +670,14 @@ def kmeans_fixed(
     out = assign.select(vid, "cluster", "d2")
     if not with_centroids:
         return out
+    if with_centroids == "rows":
+        # the quantizer already lives on the driver as cent_rows (the
+        # bounded k·dim collect IS the iteration mechanism) — hand the
+        # rows straight to an index-build caller instead of round-
+        # tripping them through createDataFrame + collect, which cost
+        # a defaultParallelism-task no-op job per build (r15 opt).
+        # Sorted by cent_id, the same order the frame form persists.
+        return (out, [(int(cid), list(vec)) for cid, vec in sorted(cent_rows)])
     cents = vectors.sparkSession.createDataFrame(
         [(int(cid), list(vec)) for cid, vec in sorted(cent_rows)],
         schema="cent_id long, ce array<double>",

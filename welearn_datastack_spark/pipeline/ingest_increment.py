@@ -256,6 +256,8 @@ def probe_batch(
     batch: DataFrame,
     state_dir: str,
     count_candidates: bool = False,
+    batch_hashes: DataFrame | None = None,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Per-incoming-document dedup decision against the PERSISTED
     state — the batch is hashed/shingled in-engine, the corpus side is
@@ -279,7 +281,18 @@ def probe_batch(
     step measured at sf30), so it is not the hot-loop default —
     ``apply_transitions`` consumes only the state column, which is
     identical between the modes (gated by ingest_decision_probe vs
-    ingest_increment_pipeline)."""
+    ingest_increment_pipeline).
+
+    ``batch_hashes`` / ``batch_bands`` (optional): the batch's
+    content-hash / band-key frames if the caller already computed
+    them — a probe-then-transition cycle needs the SAME frames for
+    the state append, and the minhash band pipeline is the expensive
+    per-batch leg, so computing it once (pinned with a
+    localCheckpoint) and passing it to both probe and
+    apply_transitions halves the per-batch shingle/minhash work
+    (r15 opt; guide §7.2 duplicated subtrees). Must be built from
+    ``batch`` with this store's params — pass frames from
+    :func:`content_hashes` / :func:`band_keys` only."""
     stored_hashes = spark.read.parquet(f"{state_dir}/doc_hashes")
     stored_bands = spark.read.parquet(f"{state_dir}/band_store")
     return _probe(
@@ -288,6 +301,8 @@ def probe_batch(
         stored_bands,
         load_params(state_dir),
         count_candidates=count_candidates,
+        batch_hashes=batch_hashes,
+        batch_bands=batch_bands,
     )
 
 
@@ -331,9 +346,15 @@ def _probe(
     stored_bands: DataFrame,
     params: LshParams = _DEFAULT_PARAMS,
     count_candidates: bool = False,
+    batch_hashes: DataFrame | None = None,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
+    if batch_hashes is None:
+        batch_hashes = content_hashes(batch)
+    if batch_bands is None:
+        batch_bands = band_keys(batch, params=params)
     exact = (
-        content_hashes(batch)
+        batch_hashes
         .join(
             stored_hashes.select(
                 F.col("doc_id").alias("s_id"), "content_hash"
@@ -343,7 +364,6 @@ def _probe(
         .groupBy("doc_id")
         .agg(F.min("s_id").alias("exact_dup_of"))
     )
-    batch_bands = band_keys(batch, params=params)
     base = batch.select("doc_id").join(exact, on="doc_id", how="left")
     if count_candidates:
         near = (
@@ -377,14 +397,55 @@ def _probe(
 
 
 def apply_transitions(
-    spark: SparkSession, batch: DataFrame, decisions: DataFrame, state_dir: str
+    spark: SparkSession,
+    batch: DataFrame,
+    decisions: DataFrame,
+    state_dir: str,
+    batch_hashes: DataFrame | None = None,
+    batch_bands: DataFrame | None = None,
 ) -> int:
     """State transition: documents judged NEW join the corpus — their
     content hashes and band keys are APPENDED to the state store, so
     the next ingest's probe sees them (idempotency: re-probing the
     same batch then flags every doc an exact dup of itself-in-state).
-    Returns the number of admitted documents."""
+    Returns the number of admitted documents.
+
+    ``batch_hashes`` / ``batch_bands`` (optional, r15 opt): the whole
+    batch's content-hash / band-key frames when the caller already
+    computed them for the probe (see :func:`probe_batch`). The appends
+    then semi-join those frames to the admitted ids instead of
+    re-running the shingle/minhash pipeline on the admitted rows — the
+    band pipeline is the expensive per-batch leg, and without reuse it
+    ran twice per ingest cycle. The caller must have PINNED the band
+    frame (localCheckpoint) if it wants the recompute saved rather
+    than merely deduplicated lineage; the hash frame is one md5 per
+    row and may stay lazy. Both frames read only batch-source files,
+    never the state files being appended to, so the self-read hazard
+    the admitted checkpoint guards against does not arise on this
+    path — PROVIDED ``decisions`` is already pinned (every in-repo
+    caller localCheckpoints the probe result first; an un-pinned
+    decisions frame would re-read the state store through the
+    admitted-id semi-join exactly while the appends grow it, so the
+    precomputed path requires the same pin the default path performs
+    itself)."""
     new_ids = decisions.filter(F.col("state") == "new").select("doc_id")
+    if batch_hashes is not None and batch_bands is not None:
+        # the admitted count rides the (smaller) hash append as an
+        # Observation; the two appends still overlap (guide §2.6)
+        obs = Observation()
+        hashes_out = batch_hashes.join(new_ids, on="doc_id").observe(
+            obs, F.count(F.lit(1)).alias("c")
+        )
+        bands_out = batch_bands.join(new_ids, on="doc_id")
+        _run_concurrently(
+            lambda: hashes_out.write.mode("append").parquet(
+                f"{state_dir}/doc_hashes"
+            ),
+            lambda: bands_out.write.mode("append").parquet(
+                f"{state_dir}/band_store"
+            ),
+        )
+        return int(obs.get["c"])
     admitted = batch.join(new_ids, on="doc_id")
     # decisions derive from a lazy probe over the files being appended
     # to — pin them before the writes (bounded: |batch| rows of ids);

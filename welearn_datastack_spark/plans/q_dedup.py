@@ -21,7 +21,7 @@ from ..operators.dedup import (
     star_edges,
     word_shingles,
 )
-from ..sources.tables import fan_out_for_compute, load_table
+from ..sources.tables import fan_out_for_compute, load_table, memo_count
 from .registry import register
 
 
@@ -53,7 +53,7 @@ def _minhash_worst_case_pairs(docs: DataFrame, n_bands: int) -> int:
     COUNT-driven sizing _sampled_baseline_docs uses); when even this
     fits the disk budget the guard's Σ C(c,2) probe is skipped, so
     small-SF gates and the sf0.1 bench pay nothing for the guard."""
-    n = docs.count()
+    n = memo_count(docs)
     return n_bands * (n * (n - 1) // 2)
 
 
@@ -187,7 +187,7 @@ def _sampled_baseline_docs(docs: DataFrame) -> tuple[DataFrame, int]:
     same COUNT(*)-driven sizing the LSH/semantic families use."""
     from ..operators.dedup import hexint
 
-    den = jaccard_sample_den(docs.count())
+    den = jaccard_sample_den(memo_count(docs))
     if den > 1:
         docs = docs.filter(hexint(F.col("doc_id").cast("string")) % den == 0)
     return docs, den
@@ -1099,7 +1099,7 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard_mode pinned: the oracle is the full near-pair set — a
     # session-level mode=sample must not silently subset it
     return simhash_near_pairs(
-        fp, "doc_id", bits=16, n_bands=4, max_hamming=3, n_docs=docs.count(),
+        fp, "doc_id", bits=16, n_bands=4, max_hamming=3, n_docs=memo_count(docs),
         guard_mode="fail",
     )
 
@@ -1599,9 +1599,17 @@ def stream_ingest_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: build_state(docs.filter(m.isin(1, 2, 3)), f"{work}/state"),
         lambda: land(docs.filter(m == 4), "a"),
     )
-    stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
+    # the landed files carry the docs frame's own schema — pass it so
+    # neither invocation pays a footer-sampling job to re-infer it
+    stream_ingest_probe(
+        spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out",
+        schema=docs.schema,
+    )
     land(docs.filter(m == 0), "b")
-    stream_ingest_probe(spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out")
+    stream_ingest_probe(
+        spark, src, f"{work}/state", f"{work}/ckpt", f"{work}/out",
+        schema=docs.schema,
+    )
     # |docs|·2/5 rows — scales with SF, so return the LAZY parquet
     # read of the decision log, never a driver collect. The log is
     # partitioned by batch_id (the idempotent-replay layout) — project
@@ -1634,9 +1642,12 @@ def ingest_state_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
     from ..pipeline.ingest_increment import (
+        _run_concurrently,
         apply_transitions,
+        band_keys,
         build_state,
         compact_state,
+        content_hashes,
         probe_batch,
     )
     from .q_extra import _gate_scratch
@@ -1645,12 +1656,25 @@ def ingest_state_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     m = F.col("doc_id") % 5
     state = f"{work}/state"
-    build_state(docs.filter(m.isin(1, 2, 3)), state)
+    # phase A's band frame feeds both the probe and the transition
+    # append — pin it ONCE, and build it CONCURRENTLY with the state
+    # store (independent lineage/directories, guide §2.6), so the
+    # batch-side minhash hides under the corpus-side build entirely
+    # (r15 opt; default LSH params on both sides by construction)
+    batch_a = docs.filter(m == 4)
+    _, bands_a = _run_concurrently(
+        lambda: build_state(docs.filter(m.isin(1, 2, 3)), state),
+        lambda: band_keys(batch_a).localCheckpoint(eager=True),
+    )
+    hashes_a = content_hashes(batch_a)
 
     # phase A: ingest the %5==4 batch — admissions APPEND fragments
-    batch_a = docs.filter(m == 4)
-    dec_a = probe_batch(spark, batch_a, state).localCheckpoint(eager=True)
-    apply_transitions(spark, batch_a, dec_a, state)
+    dec_a = probe_batch(
+        spark, batch_a, state, batch_hashes=hashes_a, batch_bands=bands_a
+    ).localCheckpoint(eager=True)
+    apply_transitions(
+        spark, batch_a, dec_a, state, batch_hashes=hashes_a, batch_bands=bands_a
+    )
 
     def n_files() -> int:
         return len(glob.glob(f"{state}/band_store/part-*.parquet"))

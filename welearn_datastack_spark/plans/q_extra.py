@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import fan_out_for_compute, load_table
+from ..sources.tables import fan_out_for_compute, load_table, memo_count
 from .registry import register
 
 
@@ -1396,10 +1396,13 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file arrives as 1-2 scan splits and would serialize the
     # n_bits x 64 fold work onto two cores (SCALE.md §4 pattern)
     par = spark.sparkContext.defaultParallelism
-    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
-    # one driver-side scalar (a parquet metadata count) sizes the
-    # bucket geometry; everything downstream is distributed
-    n_bits = scaled_n_bits(emb.count())
+    base = load_table(spark, sf_dir, "embeddings")
+    emb = base.repartition(par)
+    # one driver-side scalar (a parquet metadata count, memoized and
+    # taken on the BARE scan so the sizing job never pays the
+    # repartition exchange) sizes the bucket geometry; everything
+    # downstream is distributed
+    n_bits = scaled_n_bits(memo_count(base))
     planes = derive_planes(seed=42, n_bits=n_bits, dims=_DIMS)
     tagged = emb.select(
         "vec_id", "embedding", bucket_key_col(F.col("embedding"), planes).alias("bucket")

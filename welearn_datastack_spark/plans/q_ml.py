@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import brute_force_topk, cosine_pairs, grouped_topk
-from ..sources.tables import fan_out_for_compute, load_table
+from ..sources.tables import fan_out_for_compute, load_table, memo_count
 from .registry import register
 
 # Shared DuckDB CTE: cosine between query set (vec_id < 10) and corpus
@@ -912,8 +912,11 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-vector bucket/norm folds onto two cores (measured 15x at
     # sf1); at 100 TB the scan has thousands of splits and this is
     # noise
-    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
-    n = emb.count()
+    base = load_table(spark, sf_dir, "embeddings")
+    emb = base.repartition(par)
+    # sizing count on the BARE scan (footer-metadata count, memoized)
+    # — counting the repartitioned frame would pay its exchange
+    n = memo_count(base)
     tagged, assign = semantic_assignment_frames(emb, n)
     # norms are computed ONCE per vector (tagged), not per pair — the
     # pair stage is the quadratic part (|cluster|² dots), so pushing
@@ -1087,9 +1090,12 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     par = spark.sparkContext.defaultParallelism
-    emb = load_table(spark, sf_dir, "embeddings").repartition(par)
+    base = load_table(spark, sf_dir, "embeddings")
+    emb = base.repartition(par)
     stored_ids = F.col("vec_id") % 4 != 0
-    n_stored = emb.filter(stored_ids).count()
+    # sizing count on the BARE scan (footer-metadata count, memoized)
+    # — counting the repartitioned frame would pay its exchange
+    n_stored = memo_count(base.filter(stored_ids))
     stride, off = stride_centroid_params(n_stored)
     planes = derive_planes(seed=211, n_bits=sem_assign_bits(n_stored), dims=64)
     # pinned for the same reason as semantic_assignment_frames (r15
@@ -1293,8 +1299,9 @@ def ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule, so the map-side recompute is bit-identical to it while
     # keeping the corpus embedding column out of every serve shuffle
     # (same audit finding as ivf_ann_topk)
-    _, cents = kmeans_fixed(emb, _CENTROID_IDS, n_iter=3, with_centroids=True)
-    cent_rows = [(r["cent_id"], list(r["ce"])) for r in cents.collect()]
+    _, cent_rows = kmeans_fixed(
+        emb, _CENTROID_IDS, n_iter=3, with_centroids="rows"
+    )
     from ..operators.similarity import baked_centroid_scores
 
     scores = baked_centroid_scores("embedding", cent_rows, "sqdist")

@@ -323,6 +323,7 @@ def stream_ingest_probe(
     state_dir: str,
     checkpoint_dir: str,
     out_dir: str,
+    schema: Any = None,
 ) -> Any:
     """Streaming incremental ingest — the R4 (exactly-once file
     tracking) + R5 (stream joins static state) composition of
@@ -357,11 +358,22 @@ def stream_ingest_probe(
     (``pipeline/ingest_increment.build_state_bucketed``): the probe
     joins inside every micro-batch read the corpus side shuffle-free,
     so per-trigger cost is O(|new files|), never O(|corpus|)."""
-    from ..pipeline.ingest_increment import apply_transitions, probe_batch
+    from ..pipeline.ingest_increment import (
+        apply_transitions,
+        band_keys,
+        content_hashes,
+        load_params,
+        probe_batch,
+    )
 
     _check_decision_log_layout(out_dir)
 
-    schema = spark.read.parquet(docs_path).schema
+    # the file-stream source needs an explicit schema; infer it from
+    # the landed files only when the caller cannot supply one (a
+    # repeat invocation against a known drop folder passes it and
+    # skips a footer-sampling driver job per invocation — r15 opt)
+    if schema is None:
+        schema = spark.read.parquet(docs_path).schema
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         # pin the decisions before the writes: they derive from a lazy
@@ -372,9 +384,20 @@ def stream_ingest_probe(
         # (r15 opt) — an empty replay batch still writes nothing
         from pyspark.sql import Observation
 
+        # the batch's band frame feeds BOTH the probe's near leg and
+        # the state-transition append — pin it once so the minhash
+        # pipeline (the expensive per-batch leg) runs once per batch
+        # instead of twice (r15 opt; |batch|·n_bands narrow rows at
+        # any scale). The hash frame is one md5 per row — lazy is fine.
+        bands = band_keys(batch_df, params=load_params(state_dir)).localCheckpoint(
+            eager=True
+        )
+        hashes = content_hashes(batch_df)
         obs = Observation()
         decisions = (
-            probe_batch(spark, batch_df, state_dir)
+            probe_batch(
+                spark, batch_df, state_dir, batch_hashes=hashes, batch_bands=bands
+            )
             .observe(obs, F.count(F.lit(1)).alias("c"))
             .localCheckpoint(eager=True)
         )
@@ -384,7 +407,14 @@ def stream_ingest_probe(
         # crash-restart, and the deterministic directory makes the
         # decision log idempotent under replay (see docstring)
         decisions.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        apply_transitions(spark, batch_df, decisions, state_dir)
+        apply_transitions(
+            spark,
+            batch_df,
+            decisions,
+            state_dir,
+            batch_hashes=hashes,
+            batch_bands=bands,
+        )
 
     q = (
         spark.readStream.schema(schema)
