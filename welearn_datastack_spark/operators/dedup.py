@@ -134,6 +134,7 @@ def jaccard_pairs(
     worst_case_pairs: int | None = None,
     guard: bool = True,
     guard_mode: str | None = None,
+    pin: bool = False,
 ) -> DataFrame:
     """All document pairs sharing ≥1 shingle, with Jaccard similarity
     ≥ threshold. Output (a_id, b_id, jaccard), a_id < b_id.
@@ -193,7 +194,19 @@ def jaccard_pairs(
     scaffolding. One bucket over the target → the full
     :func:`chunked_self_pairs` sub-split, exactly as round 13 shipped
     it — the mega-bucket OOM-bomb path stays retired. Unguarded or
-    probe-skipped calls have no certificate and always chunk-split."""
+    probe-skipped calls have no certificate and always chunk-split.
+
+    ``pin=True`` (r15 opt) localCheckpoints the sized shingle frame
+    before the pair join: the join's two sides diverge at their
+    projections, and when the planner broadcasts one side exchange
+    reuse cannot unify them — the measured sink plan carried the
+    caller's whole scan→shingle-explode→size-window pipeline TWICE
+    (once under the BroadcastExchange). Callers should pass it only
+    when the shingle frame is bounded (the registered queries are
+    row-budget-sampled to ≤ _JACCARD_DOC_BUDGET docs, so the pin is
+    a few MB at any corpus size); the guard still probes the
+    ORIGINAL frame first, so a parquet-backed caller's verdict memo
+    keeps working across warm passes."""
     max_bucket = None
     if guard:
         # guard BEFORE the size window (bucket counts don't need sizes,
@@ -219,6 +232,8 @@ def jaccard_pairs(
             "__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
         )
         size_col = "__sz"
+    if pin:
+        shingles = shingles.localCheckpoint(eager=True)
     if max_bucket is not None and max_bucket <= chunk_target:
         paired = direct_self_pairs(shingles, ["shingle"], id_col, [size_col])
     else:
@@ -1227,6 +1242,17 @@ def simhash_near_pairs(
         persist_on_probe=True,
         mode=guard_mode,
     )
+    # pin the banded frame before the chunk-split (r15 opt, same
+    # rationale as lsh_candidates): the split's two sides diverge at
+    # their explodes, and when the planner broadcasts one side the
+    # measured sink plan carried the whole scan→tokenize→per-bit-agg→
+    # fingerprint→band pipeline TWICE. The pin is linear — n_bands·|D|
+    # narrow rows at any scale. A guard-persisted input (probe ran at
+    # high SF) is already shared through the CacheManager and is NOT
+    # re-pinned, preserving the probe/run computation-sharing shape.
+    sl = banded.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        banded = banded.localCheckpoint(eager=True)
     par = fingerprints.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(par, "band", "band_key")
     bucket_w = Window.partitionBy("band", "band_key")

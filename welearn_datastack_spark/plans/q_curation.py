@@ -353,6 +353,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         uni.unionAll(bi)
         .groupBy("doc_id", (hexint(F.col("g")) % 64).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))
+        # pin the feature matrix (r15 opt): feats feeds THREE consumers
+        # (the dist leg, its total under the broadcast, and the scoring
+        # leg), and the measured sink plan re-expanded the full
+        # scan→unigram/bigram-explode→hash-agg pipeline into each —
+        # six parquet scans per sink. Pinned, the gram pipeline runs
+        # once per build. feats is ≤ 64 narrow rows per doc (the DSIR
+        # feature matrix) — linear in the corpus and far smaller than
+        # the text it summarizes, the standard materialization any
+        # DSIR implementation makes before the two-pass learn/score.
+        .localCheckpoint(eager=True)
     )
     dist = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col("doc_id") % 50 == 0, F.col("c")).otherwise(F.lit(0))).alias("t_c"),

@@ -209,7 +209,11 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
     sh = word_shingles(docs, "doc_id", "text", n=3)
     # guard_mode pinned: this query's oracle does not model member
-    # sampling, so a session-level mode=sample must not apply here
+    # sampling, so a session-level mode=sample must not apply here.
+    # NOT pinned (r15 opt, measured): jaccard_pairs(pin=True) halves
+    # the sink's compute but serializes the pipeline into a checkpoint
+    # job the duplicated-parallel-stages plan beats on wall (control
+    # 1.15×) — the duplicate subtrees run concurrently on idle cores.
     return jaccard_pairs(sh, "doc_id", threshold=0.15, guard_mode="fail").withColumn(
         "sample_den", F.lit(den).cast("int")
     )
@@ -232,7 +236,7 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
     sh = hashed_shingles(word_shingles(docs, "doc_id", "text", n=3), "doc_id")
-    # guard_mode pinned: see ngram_jaccard_pairs
+    # guard_mode pinned: see ngram_jaccard_pairs (and its not-pinned note)
     return jaccard_pairs(sh, "doc_id", threshold=0.15, guard_mode="fail").withColumn(
         "sample_den", F.lit(den).cast("int")
     )
@@ -497,6 +501,12 @@ def _register_recall(name: str, n_hashes: int, rows_per_band: int, doc: str) -> 
 
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, den = _sampled_baseline_docs(_docs(spark, sf_dir))
+        # NOT pinned (r15 opt, measured): checkpointing the shared
+        # shingle frame (and jaccard_pairs pin=True) halves the sink's
+        # aggregate compute but the checkpoint barrier + per-build
+        # probe job LOST on wall to the duplicated-parallel-stages
+        # plan (control 1.28–1.42×) — on the row-budget sample the
+        # duplicate subtrees run concurrently on idle cores.
         sh = word_shingles(docs, "doc_id", "text", n=3)
         # guard_mode pinned: the recall oracle models the full truth
         # pair set, not a sampled one
