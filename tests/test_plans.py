@@ -195,11 +195,14 @@ _EXCHANGE_BUDGET = {
     # 7 here first
     "ngram_jaccard_pairs": 5,
     "ngram_jaccard_pairs_hashed": 5,     # same plan, 8-byte keys
-    # first-owner shingle agg + owner join-back + coverage dedup +
-    # kept anti-join + rebuild agg (last three doc-keyed; elide under
-    # a doc-bucketed layout)
-    "span_removal_rewrite": 5,
-    "span_removal_rewrite_hashed": 5,    # same plan, 8-byte span keys
+    # r15 opt: first-owner min-struct WINDOW over shingle (the former
+    # groupBy + join-back paid the token-level exchange twice) +
+    # coverage dedup + rebuild agg; the tokenized corpus is pinned
+    # once (localCheckpoint), whose build job carries the one
+    # doc-clustered repartition. Growth back to 5 means the join-back
+    # or per-consumer scans returned
+    "span_removal_rewrite": 3,
+    "span_removal_rewrite_hashed": 3,    # same plan, 8-byte span keys
     "incremental_lsh_candidates": 2,     # per-slice band aggs; probe join reuses
     # two bucket-pruned assignments (broadcast cents; per-vector
     # arg-max aggs) + member/probe joins + dup agg — all vec_id or

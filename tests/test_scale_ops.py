@@ -234,6 +234,27 @@ def test_strip_shared_spans_semantics(spark):
     assert out[5]["n_tokens"] == 0 and out[5]["clean_hash"] == md5("")
 
 
+def test_strip_shared_spans_within_doc_tiebreak(spark):
+    """r15 opt pin: the first-owner mark is min (doc_id, pos) — the
+    window rewrite must keep the POSITION tie-break for a span
+    repeated WITHIN one document (first occurrence kept, the later
+    one removed), in both the string and hashed key paths."""
+    import hashlib
+
+    from welearn_datastack_spark.operators.dedup import strip_shared_spans
+
+    phrase = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(7, phrase + " " + phrase)], "doc_id long, text string"
+    )
+    for hashed in (False, True):
+        row = strip_shared_spans(
+            docs, "doc_id", "text", width=8, hashed_keys=hashed
+        ).collect()[0]
+        assert row["n_tokens"] == 16 and row["n_removed"] == 8, hashed
+        assert row["clean_hash"] == hashlib.md5(phrase.encode()).hexdigest()
+
+
 def test_chunked_self_pairs_exact_and_payload_aligned(spark):
     """The generic sub-split pair generator must emit every unordered
     within-bucket pair exactly once with a_id < b_id, payloads swapped

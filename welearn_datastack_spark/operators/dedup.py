@@ -1343,6 +1343,16 @@ def strip_shared_spans(
         F.col(id_col),
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0).alias("__t"),
     )
+    # pin the tokenized corpus ONCE (r15 opt, guide §7.2): arr feeds
+    # three consumers (the kept-token side, the shingle/window side,
+    # and the per-doc token-count base), and un-pinned each subtree
+    # re-ran the scan → full-text repartition exchange → regexp
+    # tokenize — the corpus read and the pipeline's most expensive
+    # per-row expression paid 3x per sink. The checkpoint is linear
+    # (one token-array row per document, ≈ the text it tokenizes) and
+    # keeps the doc-clustered partitioning, so the rebuild agg and
+    # anti-join elisions below survive the lineage cut.
+    arr = arr.localCheckpoint(eager=True)
     toks = arr.select(F.col(id_col), F.posexplode("__t").alias("pos", "tk"))
     # positioned shingles: pos p (0-based) covers tokens [p, p+width).
     # The position range must be TOTAL even though short docs are
@@ -1373,12 +1383,25 @@ def strip_shared_spans(
         # output modulo a ~2^-64 collision (same reasoning as
         # hashed_shingles; the string path remains the oracle twin)
         sh = sh.select(F.col(id_col), "pos", F.xxhash64("shingle").alias("shingle"))
-    first = sh.groupBy("shingle").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("f")
-    )
+    # first-owner marking via a min-struct WINDOW over the shingle
+    # (r15 opt, guide §2.1/§7.2): the former groupBy(min-struct) +
+    # join-back shape shuffled the token-level sh frame TWICE (once
+    # into the aggregate, once into the join) and re-evaluated the
+    # whole tokenize→shingle-explode pipeline on each side — the
+    # window computes the same min (struct ordering is lexicographic,
+    # so min(d,p) IS the first (doc, pos) occurrence) in ONE exchange
+    # over ONE evaluation of sh. Same idiom as _span_fraction_rollup /
+    # ngram_novelty; the oracle's row_number() formulation marks the
+    # identical row set.
+    first_w = Window.partitionBy("shingle")
     removed = (
-        sh.join(first, on="shingle")
-        .filter((F.col(id_col) != F.col("f.d")) | (F.col("pos") != F.col("f.p")))
+        sh.withColumn(
+            "__f",
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).over(
+                first_w
+            ),
+        )
+        .filter((F.col(id_col) != F.col("__f.d")) | (F.col("pos") != F.col("__f.p")))
         .select(F.col(id_col), "pos")
     )
     covered = removed.select(
