@@ -51,20 +51,31 @@ def test_missing_calibration_degrades_to_ok():
 def test_r15_committed_control_windows():
     """The first-close control windows were box-contaminated
     (SCALE.md §26.5) — the committed rerun artifact still proves the
-    check catches that class. The re-close's control
-    (r15_close_control_sf0.1.json, overwritten at rev 919cdbf) ran on
-    a clean window, and the canonical's attached calibration_check
-    must agree with a fresh recomputation over the same artifact
-    (self-consistency of the attach path, §26.6)."""
+    check catches that class. The optimization-round re-close's
+    adjudication (vs the pre-optimization canonical) produced NO
+    surviving byte-flat flag, so no close_control is attached to the
+    current canonical — when one IS attached (a future close with
+    survivors), its calibration_check must agree with a fresh
+    recomputation over the same control artifact (self-consistency
+    of the attach path, §26.6)."""
     stamp = json.loads((REPO / "bench_runs" / "latest_sf0.1.json").read_text())
     calib = (stamp.get("calibration") or {}).get("spark_mean_sec")
     rerun = json.loads(
         (REPO / "bench_runs" / "r15_close_control_sf0.1_rerun.json").read_text()
     )
-    assert _calibration_check(rerun, calib)["verdict"] == "suspect"
-    control = json.loads(
-        (REPO / "bench_runs" / "r15_close_control_sf0.1.json").read_text()
-    )
-    attached = stamp["close_control"]["calibration_check"]
-    assert _calibration_check(control, calib) == attached
-    assert attached["verdict"] == "ok"
+    # the rerun's calibration is judged against ITS contemporaneous
+    # stamp's box speed (0.663 at rev 919cdbf), not the current
+    # canonical's — the committed artifact is the frozen evidence
+    assert _calibration_check(rerun, 0.663)["verdict"] == "suspect"
+    if "close_control" in stamp:
+        control = json.loads(
+            (REPO / "bench_runs" / "r15_close_control_sf0.1.json").read_text()
+        )
+        attached = stamp["close_control"]["calibration_check"]
+        assert _calibration_check(control, calib) == attached
+        assert attached["verdict"] == "ok"
+    else:
+        # adjudication-clean close: the block must exist and carry
+        # zero flagged queries (only the _meta record)
+        adj = stamp["adjudication"]
+        assert set(adj) == {"_meta"}, sorted(adj)
