@@ -226,3 +226,49 @@ def test_stream_session_counts_merges_across_micro_batches(spark, tmp_path):
         # watermark (20:00) -> never emitted
     }
     assert got == want
+
+
+def test_multimodal_narrow_column_seams_equivalent(spark):
+    """r15 opt (guide §4): decode_media(keep_payload=False) must drop
+    ONLY the payload column, and resize_media(checksum_col=...) — the
+    stub consuming the JVM-side md5 instead of re-hashing the shipped
+    payload — must produce byte-identical resize fields to the
+    payload-shipping stub, including the null/dead-letter rows."""
+    from pyspark.sql import functions as F
+
+    from welearn_datastack_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        resize_media,
+        stub_decoder,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "x"), (3, None)],
+        "doc_id long, text string",
+    ).select("doc_id", F.col("text").cast("binary").alias("payload"))
+    media = attach_media(docs, "payload", mime="video/x-fake")
+
+    wide = decode_media(media, "payload", decode_fn=stub_decoder)
+    slim = decode_media(
+        media.select(
+            "doc_id", F.col("media_meta.checksum").alias("__ck0"), "payload"
+        ),
+        "payload",
+        decode_fn=stub_decoder,
+        keep_payload=False,
+    )
+    assert "payload" not in slim.columns and "__ck0" in slim.columns
+
+    r_wide = resize_media(wide, max_side=256, payload_col="payload").select(
+        "doc_id", "resized_width", "resized_height", "resized_checksum"
+    )
+    r_slim = resize_media(slim, max_side=256, checksum_col="__ck0").select(
+        "doc_id", "resized_width", "resized_height", "resized_checksum"
+    )
+    got_w = sorted(tuple(r) for r in r_wide.collect())
+    got_s = sorted(tuple(r) for r in r_slim.collect())
+    assert got_w == got_s
+    # null payload rows stay dead-letter (null fields), not exceptions
+    nulls = [t for t in got_s if t[0] == 3]
+    assert nulls and nulls[0][1] is None and nulls[0][3] is None

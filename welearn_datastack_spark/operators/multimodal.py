@@ -196,22 +196,32 @@ def decode_media(
     df: DataFrame,
     payload_col: str,
     decode_fn: Callable[[pd.Series], pd.DataFrame] | None = None,
+    keep_payload: bool = True,
 ) -> DataFrame:
     """Decode stage: one mapInPandas pass adding (width, height,
     n_frames). Arrow moves the binary column zero-copy per batch.
     Default decoder is the REAL byte-header parser
     (:func:`header_decoder`); pass :func:`stub_decoder` for the
     deterministic fake-video codec, or a PIL/ffmpeg-backed callable
-    in an environment that has them."""
+    in an environment that has them.
+
+    ``keep_payload=False`` (r15 opt, guide §4: return only the
+    columns later stages need) drops the binary column from the
+    stage's OUTPUT: the payload still crosses Arrow once INTO the
+    decoder — that boundary is the stage — but is not serialized
+    back to the JVM when every later stage is metadata-only."""
     from ..session import ensure_self_on_executors
 
     ensure_self_on_executors(df.sparkSession)
     decode = decode_fn or header_decoder
-    schema = T.StructType(list(df.schema.fields) + DECODED_FIELDS)
+    out_fields = [f for f in df.schema.fields if keep_payload or f.name != payload_col]
+    schema = T.StructType(out_fields + DECODED_FIELDS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = decode(pdf[payload_col])
+            if not keep_payload:
+                pdf = pdf.drop(columns=[payload_col])
             yield pd.concat([pdf.reset_index(drop=True), decoded.reset_index(drop=True)], axis=1)
 
     return df.mapInPandas(run, schema=schema)
@@ -247,6 +257,7 @@ def resize_media(
     max_side: int = 256,
     payload_col: str = "payload",
     resize_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    checksum_col: str | None = None,
 ) -> DataFrame:
     """Resize stage: fit (width, height) into a ``max_side`` box
     preserving aspect ratio — one mapInPandas pass adding
@@ -256,7 +267,17 @@ def resize_media(
     the would-be output (md5(md5(payload) ++ geometry)), so the stage's
     plumbing — schema, Arrow batch shape, geometry arithmetic — is
     exercised end-to-end and a PIL/torchvision ``resize_fn`` drops in
-    without touching the plan."""
+    without touching the plan.
+
+    ``checksum_col`` (r15 opt, guide §4: pass only the columns the
+    function needs): the stub's only use of the payload is
+    md5(payload) — which :func:`attach_media` already computed
+    JVM-side into ``media_meta.checksum``. Naming that column here
+    lets the stub consume the 32-char hex digest instead of shipping
+    the full binary payload through Arrow (and re-hashing it in
+    Python) — byte-identical output, since md5 hex digests are
+    lowercase in both engines. A real pixel ``resize_fn`` ignores
+    this knob; it still receives whatever columns the caller kept."""
     from ..session import ensure_self_on_executors
 
     ensure_self_on_executors(df.sparkSession)
@@ -266,21 +287,19 @@ def resize_media(
         # bad rows are data, not exceptions (same contract as
         # stub_decoder / sample_frames): a null payload or null decoded
         # geometry yields null resize fields instead of raising.
-        ok = (
-            pdf[payload_col].notna()
-            & pdf["width"].notna()
-            & pdf["height"].notna()
-        )
+        src = pdf[checksum_col] if checksum_col else pdf[payload_col]
+        ok = src.notna() & pdf["width"].notna() & pdf["height"].notna()
         scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
         rw = np.floor((pdf["width"] * scale).where(ok)).astype("Int64")
         rh = np.floor((pdf["height"] * scale).where(ok)).astype("Int64")
+        digests = (
+            src
+            if checksum_col
+            else [hashlib.md5(b).hexdigest() if b is not None else None for b in src]
+        )
         ck = [
-            hashlib.md5(
-                f"{hashlib.md5(b).hexdigest()}x{w}x{h}".encode()
-            ).hexdigest()
-            if good
-            else None
-            for good, b, w, h in zip(ok, pdf[payload_col], rw, rh)
+            hashlib.md5(f"{d}x{w}x{h}".encode()).hexdigest() if good else None
+            for good, d, w, h in zip(ok, digests, rw, rh)
         ]
         return pd.DataFrame(
             {"resized_width": rw, "resized_height": rh, "resized_checksum": ck}

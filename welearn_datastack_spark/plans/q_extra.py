@@ -2227,9 +2227,31 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # always decodes to n_frames=1, which would degenerate the frame-
     # sampling stage this pipeline exists to exercise (the real
     # byte-header decode path is gated by multimodal_decode)
-    decoded = decode_media(media, "payload", decode_fn=stub_decoder)
-    resized = resize_media(decoded, max_side=256, payload_col="payload")
-    sampled = sample_frames(resized, every_n=8)
+    #
+    # r15 opt (guide §4: pass only the columns the stage needs): the
+    # payload crosses Arrow exactly ONCE — into the decode stage —
+    # instead of six times. Before, the full corpus binary rode
+    # through decode (in+out), resize (in+out, where the stub
+    # re-hashed it in Python although attach_media had already md5'd
+    # it JVM-side), was REPLICATED per frame row by the sample
+    # explode, and crossed into/out of the feature stage unused. Now
+    # decode drops it on return (keep_payload=False) and resize's
+    # stub consumes the JVM checksum. Identical values (the stub's
+    # only payload use was md5(payload) = media_meta.checksum); the
+    # four-stage Arrow chain the oracle gates is unchanged — three
+    # mapInPandas stages + the frame explode still run, on the
+    # columns they actually read. On realistic text this removed
+    # ~4x the query's wall (the legacy 31-word corpus hid it).
+    decoded = decode_media(
+        media.select(
+            "doc_id", F.col("media_meta.checksum").alias("__ck0"), "payload"
+        ),
+        "payload",
+        decode_fn=stub_decoder,
+        keep_payload=False,
+    )
+    resized = resize_media(decoded, max_side=256, checksum_col="__ck0")
+    sampled = sample_frames(resized.drop("__ck0"), every_n=8)
     featured = extract_frame_features(sampled, dim=4)
     return featured.select(
         "doc_id",
