@@ -189,10 +189,11 @@ def test_ingest_params_persisted_with_state(spark, sf_dir, tmp_path):
     assert load_params(state) == custom
 
     # the probe picks the persisted params up: its band leg must use
-    # 12 hashes (seed sequence 0..11 appears in the analyzed plan)
+    # 12 hashes (the wide minhash agg emits one _mh<seed> column per
+    # seed since the r16 rewrite — _mh11 present, _mh12 absent)
     probe = probe_batch(spark, docs.filter(batch_pred), state)
     plan = probe._jdf.queryExecution().analyzed().toString()
-    assert "sequence(0, 11" in plan, plan[:3000]
+    assert "_mh11" in plan and "_mh12" not in plan, plan[:3000]
 
     # a composed call against the EXISTING store with conflicting
     # params: the store's persisted parameterization wins

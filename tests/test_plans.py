@@ -50,7 +50,7 @@ _HINT_BUDGET = {
     "tpch_q16_supplier_count": 0,
     "tpch_q18_large_orders": 0,
     "broadcast_lookup": 1,  # nation
-    "tpch_q2_min_cost_supplier": 4,  # nation, region — x2: both decorrelation branches compile the joins (bounded dims; runtime dedups via exchange reuse)
+    "tpch_q2_min_cost_supplier": 2,  # nation, region — single branch since the r16 window-min rewrite (the agg+join-back decorrelation compiled both joins twice)
     "tpch_q9_product_type_profit": 1,  # nation
     "tpch_q11_important_stock": 1,  # nation (1-row filtered)
     "tpch_q12_shipmode_priority": 0,

@@ -82,8 +82,24 @@ TED_RESPONSE_SCHEMA = T.StructType(
 )
 
 
-def extract_ted(responses: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """TED GraphQL responses (one per row) → extracted WeLearn rows."""
+def extract_ted(
+    responses: DataFrame,
+    payload_col: str = "payload",
+    details_fields: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """TED GraphQL responses (one per row) → extracted WeLearn rows.
+
+    ``details_fields`` is an optimization seam (r16, guide §1.2 step 1:
+    don't compute what you throw away): a caller that only reads a
+    subset of the ``details`` struct passes those field names and the
+    rest are emitted as typed NULLs instead of being computed. The
+    schema is identical either way. This matters because Catalyst
+    cannot prune unused struct fields here — the final projection
+    extracts ≥2 fields from ``details``, so CollapseProject refuses to
+    inline the CreateNamedStruct and the full expressions (notably
+    ``predict_readability``'s three regex passes over the transcript)
+    would be evaluated and discarded. Default ``None`` computes every
+    field (the plugin contract)."""
     parsed = responses.select(
         F.from_json(F.col(payload_col), TED_RESPONSE_SCHEMA).alias("_p")
     )
@@ -127,18 +143,38 @@ def extract_ted(responses: DataFrame, payload_col: str = "payload") -> DataFrame
     pub_ts = F.unix_timestamp(
         F.to_utc_timestamp(F.to_timestamp(v["publishedAt"]), "UTC")
     ).cast("double")
-    details = F.struct(
-        v["duration"].cast("string").alias("duration"),
-        predict_readability(F.col("_content"), v["internalLanguageCode"]).alias(
-            "readability"
+    authors_type = T.ArrayType(
+        T.StructType(
+            [T.StructField("name", T.StringType()), T.StructField("misc", T.StringType())]
+        )
+    )
+    field_exprs = {
+        "duration": lambda: v["duration"].cast("string"),
+        "readability": lambda: predict_readability(
+            F.col("_content"), v["internalLanguageCode"]
         ),
-        F.array(
-            F.struct(
-                v["presenterDisplayName"].alias("name"), F.lit("").alias("misc")
-            )
-        ).alias("authors"),
-        pub_ts.alias("publication_date"),
-        v["type"]["name"].alias("type"),
+        "authors": lambda: F.array(
+            F.struct(v["presenterDisplayName"].alias("name"), F.lit("").alias("misc"))
+        ),
+        "publication_date": lambda: pub_ts,
+        "type": lambda: v["type"]["name"],
+    }
+    null_types = {
+        "duration": T.StringType(),
+        "readability": T.StringType(),
+        "authors": authors_type,
+        "publication_date": T.DoubleType(),
+        "type": T.StringType(),
+    }
+    details = F.struct(
+        *[
+            (
+                field_exprs[name]()
+                if details_fields is None or name in details_fields
+                else F.lit(None).cast(null_types[name])
+            ).alias(name)
+            for name in field_exprs
+        ]
     )
 
     ok = F.col("_error").isNull()

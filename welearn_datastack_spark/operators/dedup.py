@@ -300,14 +300,27 @@ def minhash_signatures(
     else:
         base = (hexint(F.col("shingle")) % _MH_PRIME).alias("h31")
     hashed = shingles.select(F.col(id_col), base)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    a = F.element_at(F.array(*[F.lit(_mh_params(s)[0]) for s in range(n_hashes)]), F.col("seed") + 1)
-    b = F.element_at(F.array(*[F.lit(_mh_params(s)[1]) for s in range(n_hashes)]), F.col("seed") + 1)
-    return (
-        hashed.select(F.col(id_col), F.col("h31"), seeds)
-        .withColumn("mh", (a * F.col("h31") + b) % _MH_PRIME)
-        .groupBy(id_col, "seed")
-        .agg(F.min("mh").alias("mh"))
+    # one COLUMN per seed through a single groupBy(id), not an
+    # explode to |shingles|·n_hashes rows re-aggregated on (id, seed)
+    # (r16 opt, guide §2.3/§1.2: the explode multiplied the rows the
+    # hash aggregate must probe by n_hashes for identical minima; the
+    # wide agg computes the same n_hashes mins over |shingles| rows,
+    # then a |D|-scale posexplode restores the (id, seed, mh) row
+    # contract — posexplode pos is 0-based, exactly the seed). Values
+    # are bit-identical: same (a·h31+b) mod P per seed, same MIN.
+    sig_cols = [
+        F.min(
+            (F.lit(_mh_params(s)[0]) * F.col("h31") + F.lit(_mh_params(s)[1]))
+            % _MH_PRIME
+        ).alias(f"_mh{s}")
+        for s in range(n_hashes)
+    ]
+    wide = hashed.groupBy(id_col).agg(*sig_cols)
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"_mh{s}") for s in range(n_hashes)])
+        ).alias("seed", "mh"),
     )
 
 
@@ -912,21 +925,29 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 16) -> Data
         )
         .withColumn("th", hexint(F.col("tok")))
     )
-    per_bit = (
-        toks.select(F.col(id_col), "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"))
-        .withColumn(
-            "sign",
-            F.when(F.expr("(shiftright(th, j) & 1) = 1"), 1).otherwise(-1),
+    # one sign-sum COLUMN per bit through a single groupBy(id), not a
+    # bits-way explode re-aggregated on (id, j) and folded by a second
+    # agg (r16 opt, guide §2.3/§1.2: the explode multiplied the rows
+    # the hash aggregate must probe by `bits` — and the token hash is
+    # computed BEFORE it, so the explode+double-agg was the dominant
+    # per-task cost; the wide agg computes the same per-bit ±1 sums
+    # over |tokens| rows and the fingerprint folds as a pure
+    # projection). Values are bit-identical: same integer sign sums,
+    # same >0 threshold, same disjoint bit contributions.
+    sign_cols = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(th, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    wide = toks.groupBy(id_col).agg(*sign_cols)
+    fingerprint = None
+    for j in range(bits):
+        bv = F.when(F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy(id_col, "j")
-        .agg(F.sum("sign").alias("s"))
-    )
-    bitval = F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-        F.lit(0).cast("long")
-    )
-    return per_bit.select(F.col(id_col), bitval.alias("bv")).groupBy(id_col).agg(
-        F.sum("bv").cast("long").alias("simhash")
-    )
+        fingerprint = bv if fingerprint is None else fingerprint + bv
+    return wide.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
 def star_edges(bucketed: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:

@@ -342,15 +342,30 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_extract_all(F.lower("text"), F.lit(_TOKENS), 0).alias("t"),
     )
-    uni = toks.select("doc_id", F.explode("t").alias("g"))
-    bi = toks.filter(F.size("t") >= 2).select(
+    # ONE explode over concat(unigrams, bigrams), not a unionAll of
+    # two branches (r16 opt, guide §7.2): each union branch
+    # re-evaluated the scan+tokenize subtree, so the checkpoint job
+    # tokenized the corpus twice for the identical gram multiset.
+    # The bigram transform is CASE-guarded (sequence(0, size-2) runs
+    # DESCENDING for 1-token docs under ANSI — same hazard
+    # word_shingles documents).
+    grams = toks.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+            F.concat(
+                F.col("t"),
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(t) - 2), "
+                        "i -> concat(t[i], ' ', t[i + 1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
         ).alias("g"),
     )
     feats = (
-        uni.unionAll(bi)
+        grams
         .groupBy("doc_id", (hexint(F.col("g")) % 64).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))
         # pin the feature matrix (r15 opt): feats feeds THREE consumers

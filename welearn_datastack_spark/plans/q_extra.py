@@ -1663,7 +1663,15 @@ def ted_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("data")
         )
     )
-    out = extract_ted(docs.select(payload.alias("payload")))
+    # this query reads only duration/publication_date from details —
+    # tell the plugin so the unread readability field (three regex
+    # passes over the full transcript) is not computed and discarded
+    # (Catalyst cannot prune it: the 2-field extraction below blocks
+    # CollapseProject; see extract_ted's details_fields docstring)
+    out = extract_ted(
+        docs.select(payload.alias("payload")),
+        details_fields=("duration", "publication_date"),
+    )
     return out.select(
         "url",
         "title",

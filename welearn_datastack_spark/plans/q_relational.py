@@ -983,16 +983,24 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, nation.n_nationkey == supp.s_nationkey)
         .join(region, region.r_regionkey == nation.n_regionkey)
     )
-    min_cost = eu_ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    # correlated MIN realized as a window over the SAME partition key
+    # instead of a per-part aggregate joined back (r16 opt, guide §2.4:
+    # the agg+equality-join-back evaluated the eu_ps subtree twice and
+    # paid two exchanges; min() OVER (PARTITION BY l_partkey) computes
+    # the identical per-part minimum in one exchange over one
+    # evaluation). Equivalence: the part join below filters WHOLE
+    # l_partkey groups (its only key is l_partkey), so the window min
+    # after the join equals the min over all EU offers for that part;
+    # rows achieving the min (ties included) pass the filter exactly
+    # as they matched the old (partkey, unit_cost) equality join —
+    # oracle-gated, hash-identical.
     return (
         eu_ps.join(part, eu_ps.l_partkey == part.p_partkey)
-        .join(
-            min_cost,
-            (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
+        .withColumn(
+            "min_cost",
+            F.min("unit_cost").over(Window.partitionBy("l_partkey")),
         )
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
