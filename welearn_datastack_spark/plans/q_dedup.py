@@ -706,6 +706,16 @@ def lsh_recall_corpus_midband_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hx.alias("hx"),
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0).alias("t"),
     ).filter(F.size("t") >= 20)
+    # pin the tokenized sample ONCE (r16 opt, guide §7.2): toks feeds
+    # THREE consumers in the splice pipeline (the a-side, the rep
+    # groupBy, and the rep_toks partner side), and un-pinned each
+    # re-ran the scan+tokenize subtree inside the prs checkpoint job.
+    # Bounded: row-budget sample, one token-array row per doc.
+    # Interleaved A/B won every paired run (0.88x on the prs chain);
+    # the semi-filtered rep_toks variant was also measured and LOST
+    # (1.09x) — the broadcast planner already handles the 16-row rep
+    # side.
+    toks = toks.localCheckpoint(eager=True)
     reps = toks.groupBy((F.col("hx") % 16).alias("pb")).agg(
         F.min("doc_id").alias("rep_id")
     )

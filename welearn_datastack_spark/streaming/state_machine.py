@@ -394,23 +394,35 @@ def stream_ingest_probe(
         )
         hashes = content_hashes(batch_df)
         obs = Observation()
-        decisions = (
-            probe_batch(
-                spark, batch_df, state_dir, batch_hashes=hashes, batch_bands=bands
-            )
-            .observe(obs, F.count(F.lit(1)).alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        if obs.get["c"] == 0:
-            return
+        decisions = probe_batch(
+            spark, batch_df, state_dir, batch_hashes=hashes, batch_bands=bands
+        ).observe(obs, F.count(F.lit(1)).alias("c"))
         # per-batch overwrite, not append: foreachBatch replays on
         # crash-restart, and the deterministic directory makes the
-        # decision log idempotent under replay (see docstring)
-        decisions.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        # decision log idempotent under replay (see docstring). The
+        # WRITE is the decisions' one materialization (r16 opt: it
+        # replaced a localCheckpoint job the write then merely read
+        # back) — the probe still runs strictly before the state
+        # appends below, because apply_transitions consumes the
+        # WRITTEN decision files, not the live probe plan over the
+        # state files it appends to (same pin-before-write hazard,
+        # same fix, one job cheaper per batch). The Observation rides
+        # the write; an empty replay batch removes its (empty, data-
+        # free) directory again so the decision log still gains
+        # nothing.
+        dec_dir = f"{out_dir}/batch_id={batch_id}"
+        decisions.write.mode("overwrite").parquet(dec_dir)
+        if obs.get["c"] == 0:
+            import shutil
+
+            shutil.rmtree(dec_dir, ignore_errors=True)
+            return
         apply_transitions(
             spark,
             batch_df,
-            decisions,
+            # explicit schema: the written files carry decisions' own
+            # schema by construction — skip the footer-sampling pass
+            spark.read.schema(decisions.schema).parquet(dec_dir),
             state_dir,
             batch_hashes=hashes,
             batch_bands=bands,
